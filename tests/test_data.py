@@ -1,0 +1,146 @@
+import numpy as np
+import pytest
+
+from simple_multimodal_tpu.data.audio_io import (
+    load_audio_fixed,
+    read_wav,
+    resample_np,
+    write_wav,
+)
+from simple_multimodal_tpu.data.dataset import (
+    DataLoader,
+    FewShotDataset,
+    collate,
+    get_dataset,
+)
+from simple_multimodal_tpu.data.sample_data import create_sample_dataset, synth_audio
+from simple_multimodal_tpu.data.tokenizer import CLS_ID, PAD_ID, SEP_ID, HashTokenizer
+
+
+def test_wav_roundtrip(tmp_path):
+    rate = 16000
+    wav = np.sin(np.linspace(0, 100, rate)).astype(np.float32) * 0.5
+    path = tmp_path / "t.wav"
+    write_wav(path, wav, rate)
+    back, r = read_wav(path)
+    assert r == rate
+    assert back.shape == (1, rate)
+    np.testing.assert_allclose(back[0], wav, atol=1e-3)
+
+
+def test_resample_preserves_tone():
+    # A 440 Hz tone resampled 44.1k -> 16k should still be a 440 Hz tone.
+    src_rate, dst_rate = 44100, 16000
+    t = np.arange(src_rate) / src_rate
+    wav = np.sin(2 * np.pi * 440 * t).astype(np.float32)[None]
+    out = resample_np(wav, src_rate, dst_rate)
+    assert abs(out.shape[-1] - dst_rate) <= 2
+    spec = np.abs(np.fft.rfft(out[0, 1000:-1000]))
+    freqs = np.fft.rfftfreq(out.shape[-1] - 2000, 1 / dst_rate)
+    assert abs(freqs[np.argmax(spec)] - 440) < 5
+
+
+def test_load_audio_fixed_pads_and_truncates(tmp_path):
+    rate = 16000
+    write_wav(tmp_path / "short.wav", np.ones(1000, np.float32) * 0.1, rate)
+    out = load_audio_fixed(tmp_path / "short.wav", rate, 4000)
+    assert out.shape == (4000,)
+    assert np.all(out[1000:] == 0)
+    out2 = load_audio_fixed(tmp_path / "short.wav", rate, 500)
+    assert out2.shape == (500,)
+    # missing file -> zeros
+    out3 = load_audio_fixed(tmp_path / "nope.wav", rate, 100)
+    assert np.all(out3 == 0)
+
+
+def test_tokenizer_shapes_and_determinism():
+    tok = HashTokenizer(model_max_length=16)
+    enc = tok(["Hello world!", "a much longer sentence " * 10])
+    assert enc["input_ids"].shape == (2, 16)
+    assert enc["attention_mask"].shape == (2, 16)
+    assert enc["input_ids"][0, 0] == CLS_ID
+    row = enc["input_ids"][0]
+    sep_pos = np.argmax(row == SEP_ID)
+    assert np.all(row[sep_pos + 1 :] == PAD_ID)
+    # long input fills all 16 slots, ends with SEP
+    assert enc["input_ids"][1, -1] == SEP_ID
+    enc2 = tok(["Hello world!", "a much longer sentence " * 10])
+    np.testing.assert_array_equal(enc["input_ids"], enc2["input_ids"])
+
+
+@pytest.fixture(scope="module")
+def sample_dataset_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sample_data")
+    create_sample_dataset(str(d), num_samples_per_emotion=2, duration=0.3)
+    return d
+
+
+def test_sample_dataset_files(sample_dataset_dir):
+    for split in ["train", "val", "test"]:
+        assert (sample_dataset_dir / f"{split}.csv").exists()
+    wavs = list((sample_dataset_dir / "audio").glob("*.wav"))
+    vids = list((sample_dataset_dir / "video").glob("*.mp4"))
+    assert len(wavs) == 14 and len(vids) == 14
+
+
+def test_synth_audio_distinct():
+    a = synth_audio("happy", 0.3)
+    b = synth_audio("sad", 0.3)
+    assert a.shape == b.shape
+    assert not np.allclose(a, b)
+
+
+def test_dataset_and_loader(sample_dataset_dir, tiny_config):
+    cfg = tiny_config
+    ds = get_dataset("sample", str(sample_dataset_dir), "train", cfg)
+    assert len(ds) > 0
+    item = ds[0]
+    assert item["text"]["input_ids"].shape == (cfg.text_max_length,)
+    assert item["audio"].shape == (cfg.audio_max_length,)
+    assert item["video"].shape == (cfg.video_max_frames, 32, 32, 3)
+    assert item["video"].dtype == np.uint8
+
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=0)
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    b = batches[0]
+    assert b["audio"].shape == (4, cfg.audio_max_length)
+    assert b["video"].shape == (4, cfg.video_max_frames, 32, 32, 3)
+    assert b["emotion"].shape == (4,)
+    # final batch wrap-pads to full size
+    assert batches[-1]["audio"].shape[0] == 4
+
+
+def test_dataset_cache_hit(sample_dataset_dir, tiny_config):
+    ds = get_dataset("sample", str(sample_dataset_dir), "val", tiny_config)
+    _ = ds[0]
+    row = ds.data[0]
+    cache = (sample_dataset_dir / row["audio_path"]).with_suffix(".wav.aud.npy")
+    assert cache.exists()
+    item2 = ds[0]
+    assert item2["audio"].shape == (tiny_config.audio_max_length,)
+
+
+def test_few_shot_dataset(sample_dataset_dir, tiny_config):
+    base = get_dataset("sample", str(sample_dataset_dir), "train", tiny_config)
+    fs = FewShotDataset(base, n_shot=1, seed=42)
+    # at most one per class present in the train split
+    assert 1 <= len(fs) <= 7
+    labels = [fs[i]["emotion"] for i in range(len(fs))]
+    assert len(set(int(l) for l in labels)) == len(labels)
+    fs2 = FewShotDataset(base, n_shot=1, seed=42)
+    assert fs.few_shot_indices == fs2.few_shot_indices
+
+
+def test_augment_shapes(tiny_config):
+    import jax
+
+    from simple_multimodal_tpu.data.augment import augment_batch
+
+    key = jax.random.PRNGKey(0)
+    audio = np.random.randn(2, 3200).astype(np.float32)
+    video = np.random.rand(2, 4, 32, 32, 3).astype(np.float32)
+    a2, v2 = augment_batch(key, audio, video)
+    assert a2.shape == audio.shape
+    assert v2.shape == video.shape
+    assert np.all(np.asarray(v2) >= 0) and np.all(np.asarray(v2) <= 1)
