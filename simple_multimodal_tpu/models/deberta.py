@@ -1,0 +1,234 @@
+"""DeBERTa-v2/v3 text backbone in Flax, with disentangled attention.
+
+From-scratch implementation of the architecture the reference loads as
+``AutoModel.from_pretrained("microsoft/deberta-v3-base")``
+(/root/reference/models/encoders.py:20): relative-position *log-bucketed*
+disentangled attention with content→position (c2p) and position→content
+(p2c) bias terms, shared attention keys, layer-normed relative embeddings,
+and no absolute-position bias in the embeddings.
+
+TPU-first details:
+- Sequence length is static under jit, so the bucketed relative-position
+  matrix is a compile-time numpy constant — no per-step bucket math.
+- The c2p/p2c bias gathers are ``take_along_axis`` over the last axis of an
+  MXU-computed [B,H,S,2*span] score tensor.
+- Numerics verified to ≤1e-3 against transformers' torch DebertaV2Model with
+  converted weights (tests/test_encoder_parity.py).
+"""
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class DebertaConfig:
+    vocab_size: int = 128100
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    position_buckets: int = 256
+    layer_norm_eps: float = 1e-7
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    # model_type string drives the reference's pooling rule
+    # ('bert' in 'deberta-v2' → CLS pooling, encoders.py:87-94)
+    model_type: str = "deberta-v2"
+
+    @staticmethod
+    def base() -> "DebertaConfig":
+        """microsoft/deberta-v3-base dimensions."""
+        return DebertaConfig()
+
+    @staticmethod
+    def tiny() -> "DebertaConfig":
+        return DebertaConfig(
+            vocab_size=1024, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, max_position_embeddings=64, position_buckets=16,
+        )
+
+    @staticmethod
+    def half() -> "DebertaConfig":
+        """Distillation student scale (half width/depth)."""
+        return DebertaConfig(hidden_size=384, num_layers=6, num_heads=6,
+                             intermediate_size=1536)
+
+
+def log_bucket_positions(seq_len: int, bucket_size: int, max_position: int) -> np.ndarray:
+    """Bucketed relative positions [seq, seq], computed host-side as a constant.
+
+    Mirrors DeBERTa's log-bucket scheme: positions within ±bucket_size/2 are
+    exact; farther ones are log-spaced into the remaining buckets.
+    """
+    q = np.arange(seq_len)
+    rel = q[:, None] - q[None, :]
+    mid = bucket_size // 2
+    sign = np.sign(rel)
+    abs_pos = np.where((rel < mid) & (rel > -mid), mid - 1, np.abs(rel))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        log_pos = (
+            np.ceil(np.log(abs_pos / mid) / np.log((max_position - 1) / mid) * (mid - 1))
+            + mid
+        )
+    bucket = np.where(abs_pos <= mid, rel.astype(np.float64), log_pos * sign)
+    return bucket.astype(np.int32)
+
+
+class DisentangledSelfAttention(nn.Module):
+    config: DebertaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, attention_bias, rel_embeddings, rel_pos,
+                 deterministic: bool = True):
+        cfg = self.config
+        B, S, E = hidden.shape
+        H = cfg.num_heads
+        D = E // H
+        span = cfg.position_buckets  # pos_ebd_size with buckets enabled
+
+        q_proj = nn.Dense(E, dtype=self.dtype, name="query_proj")
+        k_proj = nn.Dense(E, dtype=self.dtype, name="key_proj")
+        v_proj = nn.Dense(E, dtype=self.dtype, name="value_proj")
+
+        q = q_proj(hidden).reshape(B, S, H, D).transpose(0, 2, 1, 3)
+        k = k_proj(hidden).reshape(B, S, H, D).transpose(0, 2, 1, 3)
+        v = v_proj(hidden).reshape(B, S, H, D).transpose(0, 2, 1, 3)
+
+        scale_factor = 3  # 1 + c2p + p2c
+        scale = jnp.sqrt(jnp.array(D, jnp.float32) * scale_factor)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k / scale.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+        # --- disentangled bias (share_att_key=True: reuse q/k projections) ---
+        rel_embeddings = nn.Dropout(cfg.hidden_dropout)(
+            rel_embeddings, deterministic=deterministic
+        )
+        pos_q = q_proj(rel_embeddings).reshape(2 * span, H, D)
+        pos_k = k_proj(rel_embeddings).reshape(2 * span, H, D)
+
+        # c2p: score[q, bucket(q−k)] gathered over the 2*span axis
+        c2p = jnp.einsum("bhqd,phd->bhqp", q, pos_k,
+                         preferred_element_type=jnp.float32)
+        c2p_idx = jnp.clip(rel_pos + span, 0, 2 * span - 1)[None, None]
+        c2p = jnp.take_along_axis(
+            c2p, jnp.broadcast_to(c2p_idx, (B, H, S, S)), axis=-1
+        )
+        scores = scores + c2p / scale
+
+        # p2c: key·pos_query gathered at bucket(−(k−q)), then (q,k)-transposed
+        p2c = jnp.einsum("bhkd,phd->bhkp", k, pos_q,
+                         preferred_element_type=jnp.float32)
+        p2c_idx = jnp.clip(-rel_pos + span, 0, 2 * span - 1)[None, None]
+        p2c = jnp.take_along_axis(
+            p2c, jnp.broadcast_to(p2c_idx, (B, H, S, S)), axis=-1
+        )
+        scores = scores + jnp.swapaxes(p2c, -1, -2) / scale
+
+        scores = scores + attention_bias  # additive −inf on masked keys
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        return ctx.transpose(0, 2, 1, 3).reshape(B, S, E)
+
+
+class DebertaLayer(nn.Module):
+    config: DebertaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, attention_bias, rel_embeddings, rel_pos,
+                 deterministic: bool = True):
+        cfg = self.config
+        attn = DisentangledSelfAttention(cfg, dtype=self.dtype, name="self")(
+            hidden, attention_bias, rel_embeddings, rel_pos, deterministic
+        )
+        attn = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="attn_out_dense")(attn)
+        attn = nn.Dropout(cfg.hidden_dropout)(attn, deterministic=deterministic)
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                              name="attn_out_ln")(attn + hidden)
+
+        inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
+                         name="intermediate_dense")(hidden)
+        inter = jax.nn.gelu(inter, approximate=False)
+        out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(inter)
+        out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                            name="output_ln")(out + hidden)
+
+
+class DebertaModel(nn.Module):
+    """DeBERTa-v2/v3 encoder. Returns last_hidden_state [B, S, E]."""
+
+    config: DebertaConfig
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, input_ids: Optional[jnp.ndarray] = None,
+                 attention_mask: Optional[jnp.ndarray] = None,
+                 inputs_embeds: Optional[jnp.ndarray] = None,
+                 prompt_embeds: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.config
+        embed = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                         embedding_init=nn.initializers.normal(0.02),
+                         dtype=self.dtype, name="word_embeddings")
+        if inputs_embeds is None:
+            inputs_embeds = embed(input_ids)
+        if prompt_embeds is not None:
+            # Prompt tuning: learned embeddings prepended to the word
+            # embeddings with the mask extended (reference: encoders.py:49-71).
+            B = inputs_embeds.shape[0]
+            P = prompt_embeds.shape[-2]
+            if prompt_embeds.ndim == 2:
+                prompt_embeds = jnp.broadcast_to(
+                    prompt_embeds[None], (B, P, cfg.hidden_size)
+                )
+            inputs_embeds = jnp.concatenate(
+                [prompt_embeds.astype(inputs_embeds.dtype), inputs_embeds], axis=1
+            )
+            if attention_mask is not None:
+                attention_mask = jnp.concatenate(
+                    [jnp.ones((B, P), attention_mask.dtype), attention_mask], axis=1
+                )
+        B, S, _ = inputs_embeds.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, S), dtype=jnp.int32)
+
+        emb = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                           name="emb_ln")(inputs_embeds)
+        emb = emb * attention_mask[..., None].astype(emb.dtype)
+        hidden = nn.Dropout(cfg.hidden_dropout)(emb, deterministic=deterministic)
+
+        m = attention_mask.astype(bool)
+        pair = m[:, None, :, None] & m[:, None, None, :]
+        attention_bias = jnp.where(pair, 0.0, jnp.finfo(jnp.float32).min)
+
+        rel_pos = jnp.asarray(
+            log_bucket_positions(S, cfg.position_buckets, cfg.max_position_embeddings)
+        )
+        rel_emb_table = self.param(
+            "rel_embeddings", nn.initializers.normal(0.02),
+            (2 * cfg.position_buckets, cfg.hidden_size),
+        ).astype(self.dtype)
+        rel_embeddings = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="rel_ln"
+        )(rel_emb_table)
+
+        layer_cls = (
+            nn.remat(DebertaLayer, static_argnums=(5,)) if self.remat else DebertaLayer
+        )
+        for i in range(cfg.num_layers):
+            hidden = layer_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(
+                hidden, attention_bias, rel_embeddings, rel_pos, deterministic
+            )
+        return hidden

@@ -1,0 +1,207 @@
+"""Modality encoders: text (DeBERTa), audio (Wav2Vec2), video (ViT+LSTM).
+
+Capability parity with /root/reference/models/encoders.py: each encoder wraps
+its backbone with optional residual adapters and (text) prompt tuning, a
+modality-specific temporal module, pooling, and a projection into the shared
+fusion space. Presets select backbone scale: 'base' = the pretrained
+architectures the reference uses; 'tiny' = same-interface small stacks for
+tests/CI; 'half' = the distillation student scale.
+
+Behavioral quirks preserved from the reference:
+- Text pooling picks the CLS token iff 'bert' is a substring of the
+  backbone's model_type (encoders.py:87-94). 'deberta-v2' contains 'bert',
+  so DeBERTa pools CLS; the masked-mean branch is kept for other backbones.
+- Prompt tuning prepends learned embeddings to the *word embeddings* and
+  extends the attention mask (encoders.py:49-71).
+"""
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.adapters import AdapterLayer
+from ..ops.attention import MultiHeadAttention
+from ..ops.lstm import LSTM
+from .deberta import DebertaConfig, DebertaModel
+from .vit import ViTConfig, ViTModel
+from .wav2vec2 import Wav2Vec2Config, Wav2Vec2Model
+
+
+def resolve_backbone_configs(config):
+    """Pick backbone dimension presets from a ModelConfig."""
+    preset = getattr(config, "encoder_preset", "base")
+    if preset == "tiny":
+        text = DebertaConfig.tiny()
+        text = dataclasses.replace(text, vocab_size=128100)  # HashTokenizer ids
+        audio = Wav2Vec2Config.tiny()
+        vit = dataclasses.replace(
+            ViTConfig.tiny(), image_size=config.video_frame_size[0]
+        )
+    elif preset == "half":
+        text = DebertaConfig.half()
+        audio = Wav2Vec2Config.half()
+        vit = dataclasses.replace(
+            ViTConfig.half(), image_size=config.video_frame_size[0]
+        )
+    else:
+        text = DebertaConfig.base()
+        audio = Wav2Vec2Config.base()
+        vit = dataclasses.replace(
+            ViTConfig.base(), image_size=config.video_frame_size[0]
+        )
+    return text, audio, vit
+
+
+class TextEncoder(nn.Module):
+    """DeBERTa backbone + prompt tuning + adapter + projection
+    (reference: encoders.py:11-104)."""
+
+    config: object  # ModelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
+                 use_adapter: bool = False, use_prompt: bool = False,
+                 deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        text_cfg, _, _ = resolve_backbone_configs(cfg)
+        backbone = DebertaModel(
+            text_cfg, dtype=self.dtype, remat=getattr(cfg, "remat_encoders", False),
+            name="model",
+        )
+        B = input_ids.shape[0]
+
+        if use_prompt:
+            prompt = self.param(
+                "prompt_embeddings", nn.initializers.normal(1.0),
+                (cfg.prompt_length, text_cfg.hidden_size),
+            )
+            sequence_output = backbone(
+                input_ids=input_ids, attention_mask=attention_mask,
+                prompt_embeds=prompt, deterministic=deterministic,
+            )
+            attention_mask = jnp.concatenate(
+                [jnp.ones((B, cfg.prompt_length), attention_mask.dtype),
+                 attention_mask], axis=1,
+            )
+        else:
+            sequence_output = backbone(
+                input_ids=input_ids, attention_mask=attention_mask,
+                deterministic=deterministic,
+            )
+
+        if use_adapter:
+            sequence_output = AdapterLayer(
+                cfg.adapter_size, dtype=self.dtype, name="adapter"
+            )(sequence_output, deterministic=deterministic)
+
+        if "bert" in text_cfg.model_type:  # reference substring rule
+            pooled = sequence_output[:, 0]
+        else:
+            mask = attention_mask[..., None].astype(sequence_output.dtype)
+            summed = jnp.sum(sequence_output * mask, axis=1)
+            denom = jnp.clip(jnp.sum(mask, axis=1), 1e-9, None)
+            pooled = summed / denom
+
+        projected = nn.Dense(cfg.fusion_hidden_size, dtype=self.dtype,
+                             name="projection")(pooled)
+        projected = nn.Dropout(cfg.fusion_dropout)(projected,
+                                                   deterministic=deterministic)
+        return {
+            "features": projected,
+            "sequence_output": sequence_output,
+            "attention_mask": attention_mask,
+        }
+
+
+class AudioEncoder(nn.Module):
+    """Wav2Vec2 backbone + temporal attention + projection
+    (reference: encoders.py:107-167)."""
+
+    config: object
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, waveform: jnp.ndarray, use_adapter: bool = False,
+                 deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        _, audio_cfg, _ = resolve_backbone_configs(cfg)
+        sequence_output = Wav2Vec2Model(
+            audio_cfg, dtype=self.dtype,
+            remat=getattr(cfg, "remat_encoders", False), name="model",
+        )(waveform, deterministic=deterministic)
+
+        if use_adapter:
+            sequence_output = AdapterLayer(
+                cfg.adapter_size, dtype=self.dtype, name="adapter"
+            )(sequence_output, deterministic=deterministic)
+
+        attended, attn_weights = MultiHeadAttention(
+            audio_cfg.hidden_size, 8, cfg.fusion_dropout, dtype=self.dtype,
+            name="temporal_attention",
+        )(sequence_output, sequence_output, sequence_output,
+          deterministic=deterministic)
+
+        pooled = attended.mean(axis=1)
+        projected = nn.Dense(cfg.fusion_hidden_size, dtype=self.dtype,
+                             name="projection")(pooled)
+        projected = nn.Dropout(cfg.fusion_dropout)(projected,
+                                                   deterministic=deterministic)
+        return {
+            "features": projected,
+            "sequence_output": attended,
+            "attention_weights": attn_weights,
+        }
+
+
+class VideoEncoder(nn.Module):
+    """ViT per frame + bidirectional LSTM + facial attention + projection
+    (reference: encoders.py:170-251). Accepts uint8 [B,T,H,W,3] (normalized
+    on device) or pre-normalized float frames."""
+
+    config: object
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, video_frames: jnp.ndarray, use_adapter: bool = False,
+                 deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        _, _, vit_cfg = resolve_backbone_configs(cfg)
+        B, T = video_frames.shape[0], video_frames.shape[1]
+
+        frames = video_frames.reshape((B * T,) + video_frames.shape[2:])
+        if frames.dtype == jnp.uint8:
+            frames = frames.astype(self.dtype) / 255.0
+        cls = ViTModel(
+            vit_cfg, dtype=self.dtype,
+            remat=getattr(cfg, "remat_encoders", False), name="vit",
+        )(frames, deterministic=deterministic, cls_only=True)
+        frame_features = cls.reshape(B, T, -1)
+
+        if use_adapter:
+            frame_features = AdapterLayer(
+                cfg.adapter_size, dtype=self.dtype, name="adapter"
+            )(frame_features, deterministic=deterministic)
+
+        lstm_out, _ = LSTM(
+            vit_cfg.hidden_size // 2, num_layers=2, bidirectional=True,
+            dropout=cfg.fusion_dropout, dtype=self.dtype, name="temporal_lstm",
+        )(frame_features, deterministic=deterministic)
+
+        attended, attn_weights = MultiHeadAttention(
+            vit_cfg.hidden_size, 8, cfg.fusion_dropout, dtype=self.dtype,
+            name="facial_attention",
+        )(lstm_out, lstm_out, lstm_out, deterministic=deterministic)
+
+        pooled = attended.mean(axis=1)
+        projected = nn.Dense(cfg.fusion_hidden_size, dtype=self.dtype,
+                             name="projection")(pooled)
+        projected = nn.Dropout(cfg.fusion_dropout)(projected,
+                                                   deterministic=deterministic)
+        return {
+            "features": projected,
+            "sequence_output": attended,
+            "attention_weights": attn_weights,
+        }

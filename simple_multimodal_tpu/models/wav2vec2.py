@@ -1,0 +1,226 @@
+"""Wav2Vec2 audio backbone in Flax.
+
+From-scratch implementation of the architecture the reference loads as
+``Wav2Vec2Model.from_pretrained("facebook/wav2vec2-base-960h")``
+(/root/reference/models/encoders.py:116): a 7-layer strided conv feature
+extractor (group-norm on the first layer only), feature projection, a
+grouped-conv positional embedding with weight normalization, and a 12-layer
+post-LN transformer. 160 000 samples → 499 frames, matching torch's conv
+arithmetic exactly.
+
+TPU-first details:
+- The feature extractor runs as ``lax.conv_general_dilated`` over NWC
+  layouts (XLA maps these onto the MXU); the whole 10-second clip is one
+  fused conv stack, no framing loop.
+- Weight-norm on the positional conv is folded at apply time
+  (g * v/|v|), so inference does a plain conv.
+- Optional SpecAugment-style time masking matches the torch training-time
+  behavior (apply_spec_augment, mask_time_prob=0.05, length=10).
+"""
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class Wav2Vec2Config:
+    conv_dims: Tuple[int, ...] = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernels: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_strides: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    pos_conv_kernel: int = 128
+    pos_conv_groups: int = 16
+    layer_norm_eps: float = 1e-5
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    feat_proj_dropout: float = 0.1
+    mask_time_prob: float = 0.05
+    mask_time_length: int = 10
+
+    @staticmethod
+    def base() -> "Wav2Vec2Config":
+        """facebook/wav2vec2-base-960h dimensions."""
+        return Wav2Vec2Config()
+
+    @staticmethod
+    def tiny() -> "Wav2Vec2Config":
+        return Wav2Vec2Config(
+            conv_dims=(16, 16), conv_kernels=(10, 3), conv_strides=(5, 2),
+            hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64,
+            pos_conv_kernel=8, pos_conv_groups=2,
+        )
+
+    @staticmethod
+    def half() -> "Wav2Vec2Config":
+        return Wav2Vec2Config(hidden_size=384, num_layers=6, num_heads=6,
+                              intermediate_size=1536)
+
+    def num_frames(self, num_samples: int) -> int:
+        n = num_samples
+        for k, s in zip(self.conv_kernels, self.conv_strides):
+            n = (n - k) // s + 1
+        return n
+
+
+class FeatureEncoder(nn.Module):
+    """Strided 1-D conv stack: raw waveform [B, T] → frames [B, T', C]."""
+
+    config: Wav2Vec2Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, waveform: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        x = waveform[..., None].astype(self.dtype)  # NWC: [B, T, 1]
+        for i, (dim, k, s) in enumerate(
+            zip(cfg.conv_dims, cfg.conv_kernels, cfg.conv_strides)
+        ):
+            x = nn.Conv(dim, kernel_size=(k,), strides=(s,), padding="VALID",
+                        use_bias=False, dtype=self.dtype, name=f"conv_{i}")(x)
+            if i == 0:
+                # torch GroupNorm(num_groups=C, num_channels=C): per-channel
+                # normalization over the time axis.
+                x = nn.GroupNorm(num_groups=x.shape[-1], epsilon=1e-5,
+                                 dtype=self.dtype, name="group_norm")(x)
+            x = jax.nn.gelu(x, approximate=False)
+        return x
+
+
+class PositionalConvEmbedding(nn.Module):
+    """Grouped conv positional embedding with weight norm folded at apply."""
+
+    config: Wav2Vec2Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        E = cfg.hidden_size
+        K, G = cfg.pos_conv_kernel, cfg.pos_conv_groups
+        # torch weight_norm splits conv weight into direction v and scale g
+        # (norm over all dims except out-channel groups' dim=2 in torch's
+        # layout). Keep the same parametrization so checkpoints convert 1:1.
+        weight_v = self.param(
+            "weight_v", nn.initializers.normal(0.02), (K, E // G, E)
+        )  # flax conv kernel layout: [kernel, in/groups, out]
+        # torch applies weight_norm(dim=2): the scale g is per kernel
+        # position, with v normed over (out, in) at each position.
+        weight_g = self.param("weight_g", nn.initializers.ones, (K, 1, 1))
+        bias = self.param("bias", nn.initializers.zeros, (E,))
+        norm = jnp.sqrt(
+            jnp.sum(weight_v.astype(jnp.float32) ** 2, axis=(1, 2), keepdims=True)
+        )
+        kernel = (weight_g * weight_v / jnp.maximum(norm, 1e-12)).astype(self.dtype)
+        pad = K // 2
+        out = jax.lax.conv_general_dilated(
+            hidden.astype(self.dtype),
+            kernel,
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=G,
+        ) + bias.astype(self.dtype)
+        if K % 2 == 0:  # SamePad: drop the trailing extra frame
+            out = out[:, :-1, :]
+        return jax.nn.gelu(out, approximate=False)
+
+
+class Wav2Vec2EncoderLayer(nn.Module):
+    """Post-LN transformer layer (do_stable_layer_norm=False)."""
+
+    config: Wav2Vec2Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden: jnp.ndarray, deterministic: bool = True):
+        cfg = self.config
+        E, H = cfg.hidden_size, cfg.num_heads
+        D = E // H
+        B, S, _ = hidden.shape
+
+        q = nn.Dense(E, dtype=self.dtype, name="q_proj")(hidden) * (D ** -0.5)
+        k = nn.Dense(E, dtype=self.dtype, name="k_proj")(hidden)
+        v = nn.Dense(E, dtype=self.dtype, name="v_proj")(hidden)
+        q = q.reshape(B, S, H, D)
+        k = k.reshape(B, S, H, D)
+        v = v.reshape(B, S, H, D)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        attn = nn.Dense(E, dtype=self.dtype, name="out_proj")(ctx.reshape(B, S, E))
+        attn = nn.Dropout(cfg.hidden_dropout)(attn, deterministic=deterministic)
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                              name="layer_norm")(hidden + attn)
+
+        ff = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
+                      name="intermediate_dense")(hidden)
+        ff = jax.nn.gelu(ff, approximate=False)
+        ff = nn.Dropout(cfg.hidden_dropout)(ff, deterministic=deterministic)
+        ff = nn.Dense(E, dtype=self.dtype, name="output_dense")(ff)
+        ff = nn.Dropout(cfg.hidden_dropout)(ff, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                            name="final_layer_norm")(hidden + ff)
+
+
+class Wav2Vec2Model(nn.Module):
+    """Raw waveform [B, T] → hidden frames [B, T', E]."""
+
+    config: Wav2Vec2Config
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+    apply_spec_augment: bool = True
+
+    @nn.compact
+    def __call__(self, waveform: jnp.ndarray, deterministic: bool = True):
+        cfg = self.config
+        feats = FeatureEncoder(cfg, dtype=self.dtype, name="feature_encoder")(waveform)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="fp_layer_norm")(feats)
+        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fp_projection")(x)
+        x = nn.Dropout(cfg.feat_proj_dropout)(x, deterministic=deterministic)
+
+        if self.apply_spec_augment and cfg.mask_time_prob > 0:
+            # Param must exist regardless of mode so init/apply trees agree.
+            mask_embed = self.param(
+                "masked_spec_embed", nn.initializers.uniform(1.0),
+                (cfg.hidden_size,),
+            )
+        if self.apply_spec_augment and not deterministic and cfg.mask_time_prob > 0:
+            # SpecAugment time masking: each frame starts a mask of
+            # mask_time_length with prob mask_time_prob (torch training path).
+            key = self.make_rng("dropout")
+            B, S, _ = x.shape
+            starts = jax.random.uniform(key, (B, S)) < cfg.mask_time_prob
+            window = jnp.ones((cfg.mask_time_length,), x.dtype)
+            masked = jnp.clip(
+                jax.vmap(lambda s: jnp.convolve(s.astype(x.dtype), window, mode="full")[
+                    : S
+                ])(starts),
+                0, 1,
+            )
+            x = jnp.where(masked[..., None] > 0, mask_embed.astype(x.dtype), x)
+
+        pos = PositionalConvEmbedding(cfg, dtype=self.dtype, name="pos_conv")(x)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="encoder_layer_norm")(x + pos)
+        x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+
+        layer_cls = (
+            nn.remat(Wav2Vec2EncoderLayer, static_argnums=(2,))
+            if self.remat else Wav2Vec2EncoderLayer
+        )
+        for i in range(cfg.num_layers):
+            x = layer_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(
+                x, deterministic
+            )
+        return x

@@ -1,0 +1,124 @@
+"""Optimizer and LR schedule construction.
+
+Mirrors the reference's setup (/root/reference/training/advanced_trainer.py:77-112):
+AdamW (weight decay from config), OneCycle cosine schedule with 10% warmup,
+global-norm gradient clipping (1.0), and a separate 0.1× learning-rate group
+for the pretrained encoder backbones.
+
+Quirk note: in the reference, ``OneCycleLR(max_lr=scalar)`` overwrites both
+parameter groups with the *same* max LR each step, silently erasing the 0.1×
+backbone group (advanced_trainer.py:91-94 vs 104-110). Here the 0.1× scaling
+is actually honored (``backbone_lr_scale``); set it to 1.0 to reproduce the
+reference's accidental uniform-LR behavior.
+"""
+from typing import Callable, Optional
+
+import jax
+import optax
+
+BACKBONE_MARKERS = (
+    ("text_encoder", "model"),
+    ("audio_encoder", "model"),
+    ("video_encoder", "vit"),
+)
+
+
+def is_backbone_path(path) -> bool:
+    keys = [getattr(p, "key", str(p)) for p in path]
+    for parent, child in BACKBONE_MARKERS:
+        for i, k in enumerate(keys[:-1]):
+            if k == parent and keys[i + 1] == child:
+                return True
+    return False
+
+
+def backbone_mask(params):
+    """Pytree of bools: True where the param belongs to a pretrained backbone."""
+    flat = jax.tree_util.tree_map_with_path(lambda p, _: is_backbone_path(p), params)
+    return flat
+
+
+def make_schedule(learning_rate: float, total_steps: int,
+                  pct_start: float = 0.1) -> optax.Schedule:
+    """torch OneCycleLR(cos) equivalent: warmup to peak, cosine to ~0."""
+    total_steps = max(total_steps, 2)
+    return optax.cosine_onecycle_schedule(
+        transition_steps=total_steps,
+        peak_value=learning_rate,
+        pct_start=pct_start,
+        div_factor=25.0,
+        final_div_factor=1e4,
+    )
+
+
+def make_optimizer(
+    config,
+    params,
+    total_steps: int,
+    backbone_lr_scale: float = 0.1,
+    freeze_mask=None,
+) -> optax.GradientTransformation:
+    """AdamW + OneCycle + clip, with scaled-LR backbones and optional freezes.
+
+    ``freeze_mask``: pytree of bools, True → parameter is frozen (used for
+    the distillation teacher and few-shot episodes).
+    """
+    schedule = make_schedule(config.learning_rate, total_steps)
+
+    def adamw(scale):
+        return optax.chain(
+            optax.clip_by_global_norm(config.gradient_clip_norm),
+            optax.adamw(
+                learning_rate=lambda step: schedule(step) * scale,
+                b1=0.9, b2=0.999, eps=1e-8,
+                weight_decay=config.weight_decay,
+            ),
+        )
+
+    bb_mask = backbone_mask(params)
+    transforms = {
+        "backbone": adamw(backbone_lr_scale),
+        "new": adamw(1.0),
+        "frozen": optax.set_to_zero(),
+    }
+
+    def label_fn(params):
+        def label(path, _):
+            if freeze_mask is not None:
+                sub = freeze_mask
+                ok = True
+                for p in path:
+                    k = getattr(p, "key", str(p))
+                    if isinstance(sub, dict) and k in sub:
+                        sub = sub[k]
+                    else:
+                        ok = False
+                        break
+                if ok and sub is True:
+                    return "frozen"
+            return "backbone" if is_backbone_path(path) else "new"
+
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    return optax.multi_transform(transforms, label_fn)
+
+
+def make_trainable_only_optimizer(config, params,
+                                  trainable_fn: Callable[[str], bool],
+                                  learning_rate: Optional[float] = None
+                                  ) -> optax.GradientTransformation:
+    """Plain AdamW over params whose path matches ``trainable_fn``; others
+    frozen (reference few-shot optimizer, advanced_trainer.py:512-524)."""
+    lr = learning_rate if learning_rate is not None else config.learning_rate
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "train" if trainable_fn(
+                "/".join(getattr(p, "key", str(p)) for p in path)
+            ) else "frozen",
+            params,
+        )
+
+    return optax.multi_transform(
+        {"train": optax.adamw(lr), "frozen": optax.set_to_zero()}, label_fn
+    )

@@ -1,0 +1,401 @@
+"""Trainers: standard, few-shot, robustness.
+
+Workflow parity with /root/reference/training/advanced_trainer.py:
+``AdvancedTrainer`` (epoch loop, validation with sklearn metrics +
+classification report, best-on-val-F1-macro checkpointing, early stopping
+with patience, periodic checkpoints every 10 epochs, confusion-matrix and
+training-curve PNGs, optional wandb), ``FewShotTrainer`` (episodic training
+of adapter/prompt/prototype params only), ``RobustnessTrainer``
+(random-missing-modality training + the 7-scenario evaluation sweep).
+
+TPU redesign: the per-batch work is one donated jitted step (see steps.py);
+batches stream through the device prefetcher; metrics sync to host once per
+epoch, not per batch.
+
+Documented deviation: the reference's few-shot prototypes assume the support
+batch is ordered class-by-class but draw it from a *shuffled* loader
+(train_advanced.py:193 + multimodal_model.py:344), silently mixing classes
+into the wrong prototypes. Here the support batch is sorted by label before
+prototype computation so prototype *i* really is class *i*.
+"""
+import os
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.pipeline import prefetch_to_device
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from .checkpoint import save_checkpoint
+from .optim import make_optimizer, make_trainable_only_optimizer
+from .state import TrainState
+from .steps import device_batch, make_eval_step, make_fewshot_step, make_train_step
+
+try:  # optional dependency, like the reference's wandb usage
+    import wandb  # pragma: no cover
+
+    _HAS_WANDB = True
+except Exception:
+    wandb = None
+    _HAS_WANDB = False
+
+
+def _metrics_np(targets, predictions):
+    from sklearn.metrics import accuracy_score, f1_score
+
+    return {
+        "accuracy": float(accuracy_score(targets, predictions)),
+        "f1_macro": float(f1_score(targets, predictions, average="macro",
+                                   zero_division=0)),
+        "f1_weighted": float(f1_score(targets, predictions, average="weighted",
+                                      zero_division=0)),
+    }
+
+
+class AdvancedTrainer:
+    """Standard trainer (reference: advanced_trainer.py:20-485)."""
+
+    def __init__(self, model, config, train_loader, val_loader,
+                 test_loader=None, model_type: str = "standard",
+                 init_params=None, seed: int = 0):
+        self.model = model
+        self.config = config
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.test_loader = test_loader
+        self.model_type = model_type
+
+        self.mesh = make_mesh(getattr(config, "mesh_shape", (1, 1)))
+        self.batch_sharding = batch_sharding(self.mesh)
+
+        rng = jax.random.PRNGKey(seed)
+        init_rng, state_rng = jax.random.split(rng)
+        if init_params is None:
+            sample = device_batch(next(iter(train_loader)))
+            init_params = jax.jit(self.model.init)(
+                init_rng, sample["text"], sample["audio"], sample["video"]
+            )
+        self.num_params = sum(
+            int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(init_params)
+        )
+
+        total_steps = max(len(train_loader) * config.num_epochs, 2)
+        freeze_mask = None
+        if model_type == "distillation":
+            # Freeze the whole teacher subtree (reference: multimodal_model.py:234-236)
+            freeze_mask = {"params": {"teacher": True}}
+        self.tx = make_optimizer(config, init_params, total_steps,
+                                 freeze_mask=freeze_mask)
+        self.state = TrainState.create(init_params, self.tx, state_rng)
+
+        logits_key = "emotion_logits"
+        augment = getattr(train_loader.dataset, "augment", False)
+        self.train_step = make_train_step(
+            self.model, self.tx, config, augment=augment,
+            compute_contrastive_loss=True, logits_key=logits_key,
+        )
+        self.eval_step = make_eval_step(self.model, logits_key=logits_key)
+
+        self.current_epoch = 0
+        self.best_val_acc = 0.0
+        self.best_val_f1 = 0.0
+        self.train_losses: List[float] = []
+        self.val_losses: List[float] = []
+        self.val_accuracies: List[float] = []
+        self.val_f1_scores: List[float] = []
+        self.lr_history: List[float] = []
+        self.epoch_times: List[float] = []
+        self._schedule_total_steps = total_steps
+
+        self.patience = getattr(config, "patience", 10)
+        self.patience_counter = 0
+        self.use_wandb = bool(getattr(config, "use_wandb", False)) and _HAS_WANDB
+        if self.use_wandb:  # pragma: no cover
+            wandb.init(project="multimodal-emotion", config=vars(config))
+
+    # ------------------------------------------------------------------ train
+    def train_epoch(self) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        n = 0
+        self.train_loader.set_epoch(self.current_epoch)
+        for batch in prefetch_to_device(self.train_loader, size=2):
+            self.state, parts = self.train_step(self.state, device_batch(batch))
+            n += 1
+            if n == len(self.train_loader):  # sync metrics once per epoch
+                parts = jax.device_get(parts)
+                for k, v in parts.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+        return {k: v for k, v in sums.items()} if n else {"total_loss": 0.0}
+
+    def validate(self):
+        preds, targets, probs = [], [], []
+        total_loss, batches = 0.0, 0
+        for batch in prefetch_to_device(self.val_loader, size=2):
+            out = self.eval_step(self.state.params, device_batch(batch))
+            out = jax.device_get(out)
+            preds.extend(np.asarray(out["predictions"]).tolist())
+            targets.extend(np.asarray(batch["emotion"]).tolist())
+            probs.extend(np.asarray(out["probs"]).tolist())
+            total_loss += float(out["loss"])
+            batches += 1
+        m = _metrics_np(targets, preds)
+        metrics = {
+            "val_loss": total_loss / max(batches, 1),
+            "val_accuracy": m["accuracy"],
+            "val_f1_macro": m["f1_macro"],
+            "val_f1_weighted": m["f1_weighted"],
+        }
+        from sklearn.metrics import classification_report
+
+        class_report = classification_report(
+            targets, preds,
+            labels=list(range(self.config.num_emotions)),
+            target_names=self.config.emotion_labels,
+            output_dict=True, zero_division=0,
+        )
+        return metrics, class_report, preds, targets, probs
+
+    def current_lr(self) -> float:
+        from .optim import make_schedule
+
+        sched = make_schedule(self.config.learning_rate, self._schedule_total_steps)
+        return float(sched(int(self.state.step)))
+
+    def train(self) -> Dict[str, List[float]]:
+        print(f"Starting training on {jax.devices()[0].platform} "
+              f"({len(jax.devices())} devices, mesh {dict(self.mesh.shape)})")
+        print(f"Model parameters: {self.num_params:,}")
+
+        for epoch in range(self.config.num_epochs):
+            self.current_epoch = epoch
+            t0 = time.time()
+            train_metrics = self.train_epoch()
+            val_metrics, class_report, predictions, targets, probs = self.validate()
+            self.epoch_times.append(time.time() - t0)
+
+            self.train_losses.append(train_metrics.get("total_loss", 0.0))
+            self.val_losses.append(val_metrics["val_loss"])
+            self.val_accuracies.append(val_metrics["val_accuracy"])
+            self.val_f1_scores.append(val_metrics["val_f1_macro"])
+            self.lr_history.append(self.current_lr())
+
+            print(f"\nEpoch {epoch + 1}/{self.config.num_epochs} "
+                  f"({self.epoch_times[-1]:.1f}s)")
+            print(f"Train Loss: {self.train_losses[-1]:.4f}")
+            print(f"Val Loss: {val_metrics['val_loss']:.4f}")
+            print(f"Val Accuracy: {val_metrics['val_accuracy']:.4f}")
+            print(f"Val F1 (Macro): {val_metrics['val_f1_macro']:.4f}")
+
+            if self.use_wandb:  # pragma: no cover
+                wandb.log({"epoch": epoch, "train_loss": self.train_losses[-1],
+                           **val_metrics, "learning_rate": self.lr_history[-1]})
+
+            if val_metrics["val_f1_macro"] > self.best_val_f1:
+                self.best_val_f1 = val_metrics["val_f1_macro"]
+                self.best_val_acc = val_metrics["val_accuracy"]
+                self.save_checkpoint("best_model", epoch, val_metrics)
+                self.patience_counter = 0
+                self.plot_confusion_matrix(targets, predictions, epoch)
+            else:
+                self.patience_counter += 1
+
+            if self.patience_counter >= self.patience:
+                print(f"Early stopping at epoch {epoch + 1}")
+                break
+
+            if (epoch + 1) % 10 == 0:
+                self.save_checkpoint(f"checkpoint_epoch_{epoch + 1}", epoch,
+                                     val_metrics)
+
+        if self.test_loader:
+            test_metrics = self.evaluate_test_set()
+            print("\nFinal Test Results:")
+            print(f"Test Accuracy: {test_metrics['test_accuracy']:.4f}")
+            print(f"Test F1 (Macro): {test_metrics['test_f1_macro']:.4f}")
+
+        self.plot_training_curves()
+        return {
+            "train_losses": self.train_losses,
+            "val_losses": self.val_losses,
+            "val_accuracies": self.val_accuracies,
+            "val_f1_scores": self.val_f1_scores,
+        }
+
+    def evaluate_test_set(self) -> Dict[str, float]:
+        if not self.test_loader:
+            return {}
+        preds, targets = [], []
+        for batch in prefetch_to_device(self.test_loader, size=2):
+            out = self.eval_step(self.state.params, device_batch(batch))
+            preds.extend(np.asarray(out["predictions"]).tolist())
+            targets.extend(np.asarray(batch["emotion"]).tolist())
+        m = _metrics_np(targets, preds)
+        return {
+            "test_accuracy": m["accuracy"],
+            "test_f1_macro": m["f1_macro"],
+            "test_f1_weighted": m["f1_weighted"],
+        }
+
+    # ------------------------------------------------------------- checkpoint
+    def save_checkpoint(self, filename: str, epoch: int, metrics: Dict):
+        path = Path(self.config.save_path) / filename
+        save_checkpoint(str(path), self.state, metrics=metrics, epoch=epoch,
+                        config=self.config)
+        print(f"Checkpoint saved: {path}")
+
+    # ------------------------------------------------------------------ plots
+    def plot_confusion_matrix(self, targets, predictions, epoch: int):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from sklearn.metrics import confusion_matrix
+
+        labels = self.config.emotion_labels
+        cm = confusion_matrix(targets, predictions,
+                              labels=list(range(len(labels))))
+        fig, ax = plt.subplots(figsize=(10, 8))
+        im = ax.imshow(cm, cmap="Blues")
+        ax.set_xticks(range(len(labels)), labels, rotation=45)
+        ax.set_yticks(range(len(labels)), labels)
+        for i in range(cm.shape[0]):
+            for j in range(cm.shape[1]):
+                ax.text(j, i, str(cm[i, j]), ha="center", va="center",
+                        color="black" if cm[i, j] < cm.max() / 2 else "white")
+        ax.set_title(f"Confusion Matrix - Epoch {epoch + 1}")
+        ax.set_ylabel("True Label")
+        ax.set_xlabel("Predicted Label")
+        fig.colorbar(im)
+        path = Path(self.config.log_path) / f"confusion_matrix_epoch_{epoch + 1}.png"
+        fig.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+
+    def plot_training_curves(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        epochs = range(1, len(self.train_losses) + 1)
+        fig, ((ax1, ax2), (ax3, ax4)) = plt.subplots(2, 2, figsize=(15, 10))
+        ax1.plot(epochs, self.train_losses, "b-", label="Training Loss")
+        ax1.plot(epochs, self.val_losses, "r-", label="Validation Loss")
+        ax1.set_title("Training and Validation Loss")
+        ax2.plot(epochs, self.val_accuracies, "g-", label="Validation Accuracy")
+        ax2.set_title("Validation Accuracy")
+        ax3.plot(epochs, self.val_f1_scores, "m-", label="Validation F1 (Macro)")
+        ax3.set_title("Validation F1 Score")
+        # actual LR trajectory (the reference plotted a constant, its quirk #8)
+        ax4.plot(epochs, self.lr_history, "c-", label="Learning Rate")
+        ax4.set_title("Learning Rate Schedule")
+        for ax in (ax1, ax2, ax3, ax4):
+            ax.set_xlabel("Epoch")
+            ax.legend()
+            ax.grid(True)
+        fig.tight_layout()
+        path = Path(self.config.log_path) / "training_curves.png"
+        fig.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+
+
+class FewShotTrainer:
+    """Episodic few-shot trainer (reference: advanced_trainer.py:488-557)."""
+
+    TRAINABLE_MARKERS = ("adapter", "prompt_embeddings", "prototype_network")
+
+    def __init__(self, model, config, support_loader, query_loader,
+                 n_way: Optional[int] = None, n_shot: int = 1, seed: int = 0):
+        self.model = model
+        self.config = config
+        self.support_loader = support_loader
+        self.query_loader = query_loader
+        self.n_way = n_way or config.num_emotions
+        self.n_shot = n_shot
+
+        rng = jax.random.PRNGKey(seed)
+        init_rng, state_rng = jax.random.split(rng)
+        support = device_batch(next(iter(support_loader)))
+        query = device_batch(next(iter(query_loader)))
+        params = jax.jit(
+            lambda k, s, q: self.model.init(k, s, q, self.n_way, self.n_shot)
+        )(init_rng, support, query)
+
+        def trainable(path: str) -> bool:
+            return any(m in path for m in self.TRAINABLE_MARKERS)
+
+        self.tx = make_trainable_only_optimizer(config, params, trainable)
+        self.state = TrainState.create(params, self.tx, state_rng)
+        self.step = make_fewshot_step(self.model, self.tx, self.n_way, self.n_shot)
+
+    @staticmethod
+    def _sort_by_label(batch):
+        order = np.argsort(np.asarray(batch["emotion"]), kind="stable")
+        return jax.tree_util.tree_map(
+            lambda x: x[order] if isinstance(x, np.ndarray) and x.ndim >= 1
+            and x.shape[0] == len(order) else x,
+            batch,
+        )
+
+    def train_few_shot_episode(self, n_way: int, n_shot: int) -> float:
+        support = self._sort_by_label(device_batch(next(iter(self.support_loader))))
+        query = device_batch(next(iter(self.query_loader)))
+        self.state, loss = self.step(self.state, support, query)
+        return float(loss)
+
+
+class RobustnessTrainer(AdvancedTrainer):
+    """Missing-modality training + 7-scenario eval
+    (reference: advanced_trainer.py:560-660)."""
+
+    SCENARIOS = (
+        (), ("text",), ("audio",), ("video",),
+        ("text", "audio"), ("text", "video"), ("audio", "video"),
+    )
+
+    def __init__(self, model, config, train_loader, val_loader,
+                 test_loader=None, model_type: str = "robust", **kw):
+        super().__init__(model, config, train_loader, val_loader,
+                         test_loader=test_loader, model_type=model_type, **kw)
+        logits_key = (
+            "robust_prediction" if model_type == "robust" else "emotion_logits"
+        )
+        self._robust_logits_key = logits_key
+        # 30%-per-modality random zeroing, traced (one compile for all draws)
+        self.robust_train_step = make_train_step(
+            self.model, self.tx, config, augment=False,
+            compute_contrastive_loss=False, logits_key=logits_key,
+            missing_modality_rate=0.3,
+        )
+
+    def train_with_missing_modalities(self) -> Dict[str, float]:
+        total, n = 0.0, 0
+        self.train_loader.set_epoch(self.current_epoch)
+        for batch in prefetch_to_device(self.train_loader, size=2):
+            self.state, parts = self.robust_train_step(
+                self.state, device_batch(batch)
+            )
+            n += 1
+            if n == len(self.train_loader):
+                total = float(jax.device_get(parts["total_loss"]))
+        return {"avg_loss": total}
+
+    def evaluate_robustness(self) -> Dict[str, Dict[str, float]]:
+        results = {}
+        for missing in self.SCENARIOS:
+            name = "all" if not missing else "_".join(missing) + "_missing"
+            step = make_eval_step(
+                self.model, compute_loss=False,
+                logits_key=self._robust_logits_key,
+                missing_modalities=missing or None,
+            )
+            preds, targets = [], []
+            for batch in prefetch_to_device(self.val_loader, size=2):
+                out = step(self.state.params, device_batch(batch))
+                preds.extend(np.asarray(out["predictions"]).tolist())
+                targets.extend(np.asarray(batch["emotion"]).tolist())
+            m = _metrics_np(targets, preds)
+            results[name] = {"accuracy": m["accuracy"], "f1_macro": m["f1_macro"]}
+        return results

@@ -3,10 +3,14 @@
 Multi-chip sharding is exercised without TPU hardware via XLA's
 host-platform device-count trick; all tests use tiny shapes so the suite
 runs in CI on any box.
+
+NOTE: some environments preload jax via sitecustomize with a TPU plugin and
+``JAX_PLATFORMS`` already pointing at it — by the time conftest runs, env
+edits are too late, so the platform is forced through ``jax.config``.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,14 +18,19 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # Single-core CI hosts: per-device Eigen thread pools thrash the scheduler.
 os.environ.setdefault("OMP_NUM_THREADS", "1")
-# Persistent compile cache keeps repeat suite runs fast.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
-)
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu"
 
 
 @pytest.fixture(scope="session")
