@@ -51,8 +51,11 @@ class Wav2Vec2Config:
 
     @staticmethod
     def tiny() -> "Wav2Vec2Config":
+        # Keep the full 320x stride stack: a 10-second clip must still come
+        # out as ~499 frames or downstream attention goes quadratic in audio
+        # length.
         return Wav2Vec2Config(
-            conv_dims=(16, 16), conv_kernels=(10, 3), conv_strides=(5, 2),
+            conv_dims=(16,) * 7,
             hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64,
             pos_conv_kernel=8, pos_conv_groups=2,
         )

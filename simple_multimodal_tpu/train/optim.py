@@ -40,14 +40,25 @@ def backbone_mask(params):
 
 def make_schedule(learning_rate: float, total_steps: int,
                   pct_start: float = 0.1) -> optax.Schedule:
-    """torch OneCycleLR(cos) equivalent: warmup to peak, cosine to ~0."""
+    """torch OneCycleLR(cos) equivalent: warmup to peak, cosine to ~0.
+
+    Built from joined warmup+decay pieces instead of
+    ``optax.cosine_onecycle_schedule`` because the latter divides by zero
+    (→ NaN params) whenever ``pct_start * total_steps < 1`` — i.e. any short
+    run.
+    """
     total_steps = max(total_steps, 2)
-    return optax.cosine_onecycle_schedule(
-        transition_steps=total_steps,
-        peak_value=learning_rate,
-        pct_start=pct_start,
-        div_factor=25.0,
-        final_div_factor=1e4,
+    warmup = min(max(int(round(total_steps * pct_start)), 1), total_steps - 1)
+    init = learning_rate / 25.0
+    end = init / 1e4
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(init, learning_rate, warmup),
+            optax.cosine_decay_schedule(
+                learning_rate, total_steps - warmup, alpha=end / learning_rate
+            ),
+        ],
+        [warmup],
     )
 
 

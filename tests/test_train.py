@@ -1,0 +1,132 @@
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from simple_multimodal_tpu.models import MultimodalEmotionModel
+from simple_multimodal_tpu.train.checkpoint import (
+    restore_checkpoint,
+    restore_params,
+    save_checkpoint,
+)
+from simple_multimodal_tpu.train.optim import make_optimizer, make_schedule
+from simple_multimodal_tpu.train.state import TrainState
+from simple_multimodal_tpu.train.steps import make_eval_step, make_train_step
+
+from test_models import make_batch
+
+
+@pytest.fixture(scope="module")
+def setup(tiny_config):
+    c = dataclasses.replace(tiny_config)
+    c.fusion_type = "early"
+    model = MultimodalEmotionModel(c)
+    batch = make_batch(c, B=4, seed=3)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), batch["text"], batch["audio"], batch["video"]
+    )
+    # host copies: tests donate their device buffers into train steps
+    return c, model, batch, jax.device_get(params)
+
+
+def test_schedule_no_nan_short_runs():
+    for total in (2, 5, 8, 100):
+        sched = make_schedule(1e-4, total)
+        vals = [float(sched(s)) for s in range(total + 2)]
+        assert all(np.isfinite(v) for v in vals)
+        assert max(vals) <= 1e-4 * 1.0001
+
+
+def test_train_step_learns(setup):
+    c, model, batch, params = setup
+    tx = make_optimizer(c, params, total_steps=60)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(model, tx, c, augment=False,
+                           compute_contrastive_loss=False)
+    losses = []
+    for _ in range(30):
+        state, parts = step(state, {k: batch[k] for k in
+                                    ("text", "audio", "video", "emotion")})
+        losses.append(float(parts["emotion_loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    # overfits 4 samples: end loss clearly below start
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) - 0.1
+
+
+def test_backbone_lr_group(setup):
+    c, model, batch, params = setup
+    from simple_multimodal_tpu.train.optim import backbone_mask
+
+    mask = backbone_mask(params)
+    leaves = jax.tree_util.tree_leaves(mask)
+    assert any(leaves) and not all(leaves)  # both groups non-empty
+
+
+def test_frozen_teacher_not_updated(tiny_config):
+    from simple_multimodal_tpu.models import KnowledgeDistillationModel
+
+    c = dataclasses.replace(tiny_config)
+    c.fusion_type = "early"
+    model = KnowledgeDistillationModel(c, c)
+    batch = make_batch(c, B=2, seed=5)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), batch["text"], batch["audio"], batch["video"]
+    )
+    tx = make_optimizer(c, params, total_steps=10,
+                        freeze_mask={"params": {"teacher": True}})
+    state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(model, tx, c, augment=False,
+                           compute_contrastive_loss=False)
+    # snapshot before stepping: the train step donates the state buffers
+    teacher_before = [np.asarray(x) for x in
+                      jax.tree_util.tree_leaves(state.params["params"]["teacher"])]
+    student_before = [np.asarray(x) for x in
+                      jax.tree_util.tree_leaves(state.params["params"]["student"])]
+    state, parts = step(state, {k: batch[k] for k in
+                                ("text", "audio", "video", "emotion")})
+    teacher_after = jax.tree_util.tree_leaves(state.params["params"]["teacher"])
+    for b, a in zip(teacher_before, teacher_after):
+        np.testing.assert_array_equal(b, np.asarray(a))
+    student_after = jax.tree_util.tree_leaves(state.params["params"]["student"])
+    assert any(
+        not np.array_equal(b, np.asarray(a))
+        for b, a in zip(student_before, student_after)
+    )
+    assert float(parts["distillation_loss"]) >= 0
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    c, model, batch, params = setup
+    tx = make_optimizer(c, params, total_steps=10)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(2))
+    path = str(tmp_path / "ckpt" / "best_model")
+    save_checkpoint(path, state, metrics={"val_f1_macro": 0.5}, epoch=3, config=c)
+
+    restored = restore_params(path)
+    eval_step = make_eval_step(model)
+    out1 = eval_step(state.params, {k: batch[k] for k in
+                                    ("text", "audio", "video", "emotion")})
+    out2 = eval_step(restored, {k: batch[k] for k in
+                                ("text", "audio", "video", "emotion")})
+    np.testing.assert_allclose(
+        np.asarray(out1["logits"]), np.asarray(out2["logits"]), atol=1e-6
+    )
+    full = restore_checkpoint(path)
+    assert full["step"] == 0
+    assert full["meta"]["epoch"] == 3
+    assert full["meta"]["metrics"]["val_f1_macro"] == 0.5
+    assert full["meta"]["config"]["fusion_hidden_size"] == c.fusion_hidden_size
+    assert "opt_state" in full
+
+
+def test_missing_modality_rate_step(setup):
+    c, model, batch, params = setup
+    tx = make_optimizer(c, params, total_steps=10)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(3))
+    step = make_train_step(model, tx, c, augment=False,
+                           compute_contrastive_loss=False,
+                           missing_modality_rate=0.3)
+    state, parts = step(state, {k: batch[k] for k in
+                                ("text", "audio", "video", "emotion")})
+    assert np.isfinite(float(parts["total_loss"]))
