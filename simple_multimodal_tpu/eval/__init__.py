@@ -1,0 +1,2 @@
+from .evaluator import ModelEvaluator
+from .metrics import calculate_metrics
