@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""Interactive demo server (reference: /root/reference/demo/gradio_demo.py).
+
+The reference serves a Gradio UI on port 7860; this environment has no
+gradio, so the same capability ships as a dependency-free stdlib HTTP server:
+a browser UI (text box + audio/video upload, emotion distribution and
+valence-arousal charts, AI response, activity suggestions, conversation
+history) plus a JSON API (`POST /api/analyze`). `--cli` runs one request from
+the command line without the server.
+"""
+import argparse
+import io
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PAGE = """<!DOCTYPE html>
+<html>
+<head>
+<title>🎭 Multimodal Emotion Recognition</title>
+<style>
+ body { font-family: Arial, sans-serif; margin: 30px; background:#fafafa; }
+ .card { background:white; border:1px solid #ddd; border-radius:8px;
+         padding:20px; margin:15px 0; }
+ textarea { width:100%; height:70px; }
+ .bar { height:22px; margin:3px 0; color:#222; padding-left:6px;
+        white-space:nowrap; }
+ #va { position:relative; width:320px; height:320px; border:1px solid #ccc;
+       background:linear-gradient(to top, #f8f8ff, #fff); }
+ .anchor { position:absolute; width:14px; height:14px; border-radius:50%;
+           transform:translate(-50%,-50%); opacity:.65; }
+ .pred { position:absolute; width:18px; height:18px; background:red;
+         transform:translate(-50%,-50%) rotate(45deg); border:2px solid black; }
+ .label { position:absolute; font-size:11px; transform:translate(-50%,-160%); }
+ pre { white-space: pre-wrap; }
+</style>
+</head>
+<body>
+<h1>🎭 Multimodal Emotion Recognition (TPU-native)</h1>
+<div class="card">
+  <h3>Input</h3>
+  <textarea id="text" placeholder="How are you feeling today?"></textarea><br/>
+  Audio (wav): <input type="file" id="audio" accept=".wav"/><br/>
+  Video (mp4): <input type="file" id="video" accept=".mp4,.avi,.mov"/><br/><br/>
+  <button onclick="analyze()">Analyze Emotion</button>
+</div>
+<div class="card"><h3>Emotion Distribution</h3><div id="dist"></div></div>
+<div class="card"><h3>Valence-Arousal Space</h3><div id="va"></div></div>
+<div class="card"><h3>AI Response</h3><pre id="resp"></pre></div>
+<div class="card"><h3>Suggestions</h3><pre id="sugg"></pre></div>
+<div class="card"><h3>Conversation History</h3><pre id="hist"></pre></div>
+<script>
+async function analyze() {
+  const fd = new FormData();
+  fd.append('text', document.getElementById('text').value);
+  const a = document.getElementById('audio').files[0];
+  const v = document.getElementById('video').files[0];
+  if (a) fd.append('audio', a);
+  if (v) fd.append('video', v);
+  document.getElementById('resp').textContent = 'Analyzing...';
+  const res = await fetch('/api/analyze', {method:'POST', body: fd});
+  const data = await res.json();
+  render(data);
+}
+function render(d) {
+  if (d.error) { document.getElementById('resp').textContent = d.error; return; }
+  const dist = document.getElementById('dist'); dist.innerHTML='';
+  const c = d.emotion_chart;
+  c.labels.forEach((lab,i)=>{
+    const v = c.values[i];
+    const div = document.createElement('div');
+    div.className='bar';
+    div.style.width = Math.max(3, v*100*5)+'px';
+    div.style.background = c.colors[i];
+    div.textContent = lab+' '+(v*100).toFixed(1)+'%';
+    dist.appendChild(div);
+  });
+  const va = document.getElementById('va'); va.innerHTML='';
+  const toPx = (x)=> (x+1)/2*320;
+  Object.entries(d.va_chart.anchors).forEach(([emo,a])=>{
+    const el=document.createElement('div'); el.className='anchor';
+    el.style.left=toPx(a.valence)+'px'; el.style.top=(320-toPx(a.arousal))+'px';
+    el.style.background=a.color; va.appendChild(el);
+    const lb=document.createElement('div'); lb.className='label';
+    lb.style.left=toPx(a.valence)+'px'; lb.style.top=(320-toPx(a.arousal))+'px';
+    lb.textContent=emo; va.appendChild(lb);
+  });
+  const p=d.va_chart.prediction;
+  const el=document.createElement('div'); el.className='pred';
+  el.title='Predicted: '+p.emotion;
+  el.style.left=toPx(Math.max(-1,Math.min(1,p.valence)))+'px';
+  el.style.top=(320-toPx(Math.max(-1,Math.min(1,p.arousal))))+'px';
+  va.appendChild(el);
+  document.getElementById('resp').textContent = d.ai_response;
+  document.getElementById('sugg').textContent = d.suggestions;
+  document.getElementById('hist').textContent = d.history.map(
+    h=>`[${h.timestamp}] (${h.emotion} ${(h.confidence*100).toFixed(0)}%) ${h.user_input}\\n  → ${h.ai_response}`
+  ).join('\\n\\n');
+}
+</script>
+</body>
+</html>"""
+
+
+def make_handler(demo):
+    import cgi
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            print("[demo]", fmt % args)
+
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.end_headers()
+            self.wfile.write(PAGE.encode())
+
+        def do_POST(self):
+            if self.path != "/api/analyze":
+                self.send_response(404)
+                self.end_headers()
+                return
+            ctype = self.headers.get("Content-Type", "")
+            text, audio_path, video_path = "", None, None
+            tmpfiles = []
+            try:
+                if ctype.startswith("multipart/form-data"):
+                    form = cgi.FieldStorage(
+                        fp=self.rfile, headers=self.headers,
+                        environ={"REQUEST_METHOD": "POST",
+                                 "CONTENT_TYPE": ctype},
+                    )
+                    text = form.getvalue("text", "") or ""
+                    for field, suffix in (("audio", ".wav"), ("video", ".mp4")):
+                        if field in form and getattr(form[field], "filename", None):
+                            f = tempfile.NamedTemporaryFile(
+                                suffix=suffix, delete=False)
+                            f.write(form[field].file.read())
+                            f.close()
+                            tmpfiles.append(f.name)
+                            if field == "audio":
+                                audio_path = f.name
+                            else:
+                                video_path = f.name
+                else:
+                    length = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                    text = body.get("text", "")
+                    audio_path = body.get("audio_path")
+                    video_path = body.get("video_path")
+
+                analysis, response, suggestions, chart, va = (
+                    demo.process_multimodal_input(text, audio_path, video_path)
+                )
+                payload = {
+                    "emotion_analysis": analysis,
+                    "ai_response": response,
+                    "suggestions": suggestions,
+                    "emotion_chart": chart,
+                    "va_chart": va,
+                    "history": demo.conversation_history[-10:],
+                }
+                if not analysis:
+                    payload["error"] = response
+                out = json.dumps(payload).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(out)
+            except Exception as e:
+                self.send_response(500)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(json.dumps({"error": str(e)}).encode())
+            finally:
+                for p in tmpfiles:
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
+
+    return Handler
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Multimodal emotion demo")
+    parser.add_argument("--model_path", type=str, required=True)
+    parser.add_argument("--config_path", type=str, default=None)
+    parser.add_argument("--port", type=int, default=7860)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--cli", action="store_true",
+                        help="One-shot CLI analysis instead of serving")
+    parser.add_argument("--text", type=str, default="")
+    parser.add_argument("--audio", type=str, default=None)
+    parser.add_argument("--video", type=str, default=None)
+    args = parser.parse_args()
+
+    from simple_multimodal_tpu.serving import MultimodalEmotionDemo
+
+    demo = MultimodalEmotionDemo(args.model_path, args.config_path)
+
+    if args.cli:
+        analysis, response, suggestions, chart, va = (
+            demo.process_multimodal_input(args.text, args.audio, args.video)
+        )
+        print(json.dumps({
+            "emotion_analysis": analysis,
+            "ai_response": response,
+            "suggestions": suggestions,
+        }, indent=2))
+        return
+
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(demo))
+    print(f"Demo running at http://{args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
