@@ -99,13 +99,24 @@ def load_audio_fixed(
     path: str,
     target_rate: int = 16000,
     max_length: int = 160000,
+    use_native: bool = True,
 ) -> np.ndarray:
     """Decode + resample + mono + pad/truncate to ``max_length`` (float32).
 
     Behavior parity with the reference loader (dataset_loaders.py:95-135):
     missing/corrupt files yield zeros; multi-channel is averaged to mono;
     long clips truncate from the front, short clips zero-pad at the end.
+
+    Decode runs through the native C++ library (native/smmdata.cpp) when it
+    builds on this host; the numpy path is the fallback.
     """
+    if use_native:
+        from . import native
+
+        if native.available():
+            out = native.decode_audio(path, target_rate, max_length)
+            if out is not None:
+                return out
     try:
         wav, rate = read_wav(path)
     except Exception:
