@@ -59,6 +59,8 @@ def main():
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--skip-preprocessing", action="store_true")
+    parser.add_argument("--f32", action="store_true",
+                        help="Disable bf16 mixed precision")
     args = parser.parse_args()
 
     import jax
@@ -71,13 +73,16 @@ def main():
 
     from simple_multimodal_tpu.config import ModelConfig
     from simple_multimodal_tpu.models import MultimodalEmotionModel
+    from simple_multimodal_tpu.models.multimodal_model import resolve_dtype
 
     cfg = ModelConfig(encoder_preset=args.preset,
                       data_path="/tmp/smm_bench/data",
                       save_path="/tmp/smm_bench/ckpt",
-                      log_path="/tmp/smm_bench/logs")
+                      log_path="/tmp/smm_bench/logs",
+                      mixed_precision=not args.f32)
     cfg.fusion_type = args.fusion
-    model = MultimodalEmotionModel(cfg)
+    dtype = resolve_dtype(cfg)
+    model = MultimodalEmotionModel(cfg, dtype=dtype)
 
     B = args.batch
     rng = np.random.default_rng(0)
@@ -137,6 +142,7 @@ def main():
     detail = {
         "device": str(device),
         "platform": device.platform,
+        "compute_dtype": str(np.dtype(dtype)) if dtype != np.float32 else "float32",
         "preset": args.preset,
         "fusion": args.fusion,
         "batch": B,

@@ -358,9 +358,22 @@ class RobustMultimodalModel(nn.Module):
         return output
 
 
+def resolve_dtype(config) -> jnp.dtype:
+    """Compute dtype policy: the reference's AMP analogue
+    (advanced_trainer.py:57,131). bf16 activations on TPU under
+    ``mixed_precision`` (params stay f32); f32 elsewhere."""
+    if getattr(config, "mixed_precision", False):
+        if jax.default_backend() == "tpu":
+            name = getattr(config, "compute_dtype", "bfloat16")
+            return jnp.dtype(name)
+    return jnp.float32
+
+
 def create_model(config, model_type: str = "standard",
-                 dtype: jnp.dtype = jnp.float32) -> nn.Module:
+                 dtype: Optional[jnp.dtype] = None) -> nn.Module:
     """Factory mirroring the reference (multimodal_model.py:453-469)."""
+    if dtype is None:
+        dtype = resolve_dtype(config)
     if model_type == "standard":
         return MultimodalEmotionModel(config, dtype=dtype)
     if model_type == "few_shot":
