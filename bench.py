@@ -66,8 +66,10 @@ def main():
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(ROOT, ".jax_cache"))
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(ROOT, ".jax_cache", jax.default_backend()),
+        )
     except Exception:
         pass
 

@@ -303,12 +303,15 @@ class RobustMultimodalModel(nn.Module):
     def __call__(self, text_input, audio_input, video_input,
                  available_modalities: Optional[Sequence[str]] = None,
                  missing_modalities: Optional[Sequence[str]] = None,
+                 compute_contrastive_loss: bool = False,
                  deterministic: bool = True) -> Dict:
         cfg = self.config
         output = MultimodalEmotionModel(
             cfg, dtype=self.dtype, name="base_model"
         )(text_input, audio_input, video_input,
-          missing_modalities=missing_modalities, deterministic=deterministic)
+          missing_modalities=missing_modalities,
+          compute_contrastive_loss=compute_contrastive_loss,
+          deterministic=deterministic)
 
         t = output["text_features"]
         a = output["audio_features"]

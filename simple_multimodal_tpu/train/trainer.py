@@ -60,7 +60,8 @@ class AdvancedTrainer:
 
     def __init__(self, model, config, train_loader, val_loader,
                  test_loader=None, model_type: str = "standard",
-                 init_params=None, seed: int = 0):
+                 init_params=None, seed: int = 0,
+                 resume_from: Optional[str] = None):
         self.model = model
         self.config = config
         self.train_loader = train_loader
@@ -90,6 +91,33 @@ class AdvancedTrainer:
         self.tx = make_optimizer(config, init_params, total_steps,
                                  freeze_mask=freeze_mask)
         self.state = TrainState.create(init_params, self.tx, state_rng)
+        self.start_epoch = 0
+        if resume_from:
+            # Full resume: params + optimizer state + step + RNG (the
+            # reference could only reload model weights,
+            # multimodal_model.py:472-485).
+            from .checkpoint import restore_checkpoint
+
+            payload = restore_checkpoint(resume_from)
+            state = self.state
+            if payload.get("params") is not None:
+                state = state.replace(params=payload["params"])
+            if payload.get("opt_state") is not None:
+                restored_opt = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(state.opt_state),
+                    jax.tree_util.tree_leaves(payload["opt_state"]),
+                )
+                state = state.replace(opt_state=restored_opt)
+            if payload.get("step") is not None:
+                state = state.replace(step=int(payload["step"]))
+            if payload.get("rng") is not None:
+                state = state.replace(rng=jax.numpy.asarray(payload["rng"]))
+            self.state = state
+            meta = payload.get("meta", {})
+            if meta.get("epoch") is not None:
+                self.start_epoch = int(meta["epoch"]) + 1
+            print(f"Resumed from {resume_from} at step {self.state.step} "
+                  f"(epoch {self.start_epoch})")
 
         logits_key = "emotion_logits"
         augment = getattr(train_loader.dataset, "augment", False)
@@ -169,7 +197,7 @@ class AdvancedTrainer:
               f"({len(jax.devices())} devices, mesh {dict(self.mesh.shape)})")
         print(f"Model parameters: {self.num_params:,}")
 
-        for epoch in range(self.config.num_epochs):
+        for epoch in range(self.start_epoch, self.config.num_epochs):
             self.current_epoch = epoch
             t0 = time.time()
             train_metrics = self.train_epoch()

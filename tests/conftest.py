@@ -19,7 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
 # Single-core CI hosts: per-device Eigen thread pools thrash the scheduler.
 os.environ.setdefault("OMP_NUM_THREADS", "1")
 
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
+# keep per-platform caches separate: entries compiled for another host's CPU
+# features (e.g. by a remote compile service) SIGILL-risk on replay
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                          ".jax_cache", "cpu")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
 
 import jax  # noqa: E402

@@ -57,7 +57,8 @@ def load_datasets(data_config: DataConfig, model_config: ModelConfig,
 
 
 def train_standard_model(model_config: ModelConfig, data_config: DataConfig,
-                         fusion_type: str = "hierarchical", seed: int = 0) -> str:
+                         fusion_type: str = "hierarchical", seed: int = 0,
+                         resume_from: str = None) -> str:
     from simple_multimodal_tpu.models import create_model
     from simple_multimodal_tpu.train.checkpoint import save_checkpoint
     from simple_multimodal_tpu.train.trainer import AdvancedTrainer
@@ -69,7 +70,7 @@ def train_standard_model(model_config: ModelConfig, data_config: DataConfig,
     trainer = AdvancedTrainer(
         model=model, config=model_config,
         train_loader=loaders["train"], val_loader=loaders["val"],
-        test_loader=loaders["test"], seed=seed,
+        test_loader=loaders["test"], seed=seed, resume_from=resume_from,
     )
     trainer.train()
     model_path = Path(model_config.save_path) / f"final_model_{fusion_type}"
@@ -93,17 +94,28 @@ def train_few_shot_model(model_config: ModelConfig, data_config: DataConfig,
     val_dataset = get_dataset(data_config.primary_dataset,
                               model_config.data_path, "val", model_config)
 
+    # Prototype reshaping needs exactly n_shot per class: clamp each sweep
+    # point to the scarcest class (the reference crashes on ragged classes,
+    # multimodal_model.py:344).
+    class_counts = {}
+    for row in train_dataset.data:
+        cid = train_dataset.emotion_to_id[row["emotion"]]
+        class_counts[cid] = class_counts.get(cid, 0) + 1
+    min_count = min(
+        (class_counts.get(c, 0) for c in range(model_config.num_emotions)),
+        default=0,
+    )
+    if min_count == 0:
+        print("Few-shot skipped: some emotion class has no train samples")
+        return results
+
     for n_shot in experiment_config.few_shot_samples:
         print(f"Training {n_shot}-shot model...")
-        few_shot_train = FewShotDataset(train_dataset, n_shot=n_shot,
+        n_shot_eff = min(n_shot, min_count)
+        few_shot_train = FewShotDataset(train_dataset, n_shot=n_shot_eff,
                                         n_way=model_config.num_emotions)
-        few_shot_val = FewShotDataset(val_dataset, n_shot=n_shot,
+        few_shot_val = FewShotDataset(val_dataset, n_shot=n_shot_eff,
                                       n_way=model_config.num_emotions)
-        if len(few_shot_train) < model_config.num_emotions:
-            print(f"  skipping {n_shot}-shot: not enough support samples")
-            continue
-        # support batch covers the class-ordered support set exactly
-        n_shot_eff = len(few_shot_train) // model_config.num_emotions
         support_loader = create_dataloader(
             few_shot_train, batch_size=len(few_shot_train), shuffle=False)
         query_loader = create_dataloader(
@@ -137,10 +149,17 @@ def train_knowledge_distillation(model_config: ModelConfig,
     from simple_multimodal_tpu.train.checkpoint import restore_params, save_params
     from simple_multimodal_tpu.train.trainer import AdvancedTrainer
 
+    from simple_multimodal_tpu.train.checkpoint import restore_checkpoint
+
     print("=== Knowledge Distillation Training ===")
     loaders = load_datasets(data_config, model_config, seed)
 
-    teacher_params = restore_params(teacher_model_path)
+    teacher_ckpt = restore_checkpoint(teacher_model_path)
+    teacher_params = teacher_ckpt["params"]
+    # the teacher architecture comes from its own saved config
+    meta_cfg = teacher_ckpt.get("meta", {}).get("config") or {}
+    if meta_cfg.get("fusion_type"):
+        model_config.fusion_type = meta_cfg["fusion_type"]
 
     from simple_multimodal_tpu.config import config_from_dict
 
@@ -279,6 +298,11 @@ def main():
                         help="Device mesh 'data,model' (e.g. '8,1')")
     parser.add_argument("--episodes", type=int, default=100,
                         help="Few-shot episodes per n_shot")
+    parser.add_argument("--few_shot_samples", type=int, nargs="+", default=None,
+                        help="Override the n_shot sweep (default 1 5 10 20 50)")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="Checkpoint directory to resume training from "
+                             "(full state: params + optimizer + step)")
     parser.add_argument("--dataset", type=str, default=None,
                         help="Override primary dataset name")
     args = parser.parse_args()
@@ -301,6 +325,7 @@ def main():
     model_config.learning_rate = args.learning_rate
     model_config.device = args.device
     model_config.use_wandb = args.use_wandb
+    model_config.fusion_type = args.fusion_type
     model_config.encoder_preset = args.preset
     model_config.mesh_shape = tuple(int(x) for x in args.mesh.split(","))
 
@@ -308,12 +333,15 @@ def main():
     if args.dataset:
         data_config.primary_dataset = args.dataset
     experiment_config = ExperimentConfig()
+    if args.few_shot_samples:
+        experiment_config.few_shot_samples = args.few_shot_samples
 
     os.makedirs(args.save_path, exist_ok=True)
 
     if args.mode == "standard":
         path = train_standard_model(model_config, data_config,
-                                    args.fusion_type, args.seed)
+                                    args.fusion_type, args.seed,
+                                    resume_from=args.resume)
         print(f"Training completed! Model saved to: {path}")
     elif args.mode == "few_shot":
         results = train_few_shot_model(model_config, data_config,
