@@ -61,6 +61,10 @@ def main():
     parser.add_argument("--skip-preprocessing", action="store_true")
     parser.add_argument("--f32", action="store_true",
                         help="Disable bf16 mixed precision")
+    parser.add_argument("--train", action="store_true",
+                        help="Also measure training-step throughput")
+    parser.add_argument("--profile", type=str, default=None,
+                        help="Capture an XLA trace of the timed region to DIR")
     args = parser.parse_args()
 
     import jax
@@ -118,12 +122,24 @@ def main():
 
     # vary inputs across iters so nothing is memoized; block every iter
     audios = [batch["audio"] + i * 1e-3 for i in range(args.iters)]
-    times = []
-    for i in range(args.iters):
-        t0 = time.time()
-        out = forward(params, batch["text"], audios[i], batch["video"])
-        out.block_until_ready()
-        times.append(time.time() - t0)
+
+    def timed_loop():
+        times = []
+        for i in range(args.iters):
+            t0 = time.time()
+            out = forward(params, batch["text"], audios[i], batch["video"])
+            out.block_until_ready()
+            times.append(time.time() - t0)
+        return times
+
+    if args.profile:
+        from simple_multimodal_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            times = timed_loop()
+        print(f"trace written to {args.profile}", file=sys.stderr)
+    else:
+        times = timed_loop()
     med = float(np.median(times))
     fwd_clips_per_sec = B / med
 
@@ -141,6 +157,32 @@ def main():
         lat.append(time.time() - t0)
     p50_latency = float(np.median(lat))
 
+    train_detail = {}
+    if args.train:
+        from simple_multimodal_tpu.train.optim import make_optimizer
+        from simple_multimodal_tpu.train.state import TrainState
+        from simple_multimodal_tpu.train.steps import make_train_step
+
+        tx = make_optimizer(cfg, params, total_steps=1000)
+        state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+        step = make_train_step(model, tx, cfg, augment=True,
+                               compute_contrastive_loss=True)
+        tb = dict(batch)
+        tb["emotion"] = rng.integers(0, cfg.num_emotions, (B,)).astype(np.int32)
+        t0 = time.time()
+        state, parts = step(state, tb)
+        jax.block_until_ready(parts)
+        train_detail["train_compile_s"] = time.time() - t0
+        t0 = time.time()
+        n_train = max(args.iters // 2, 3)
+        for _ in range(n_train):
+            state, parts = step(state, tb)
+        jax.block_until_ready(parts)
+        sec = (time.time() - t0) / n_train
+        train_detail["train_sec_per_step"] = sec
+        train_detail["train_clips_per_sec"] = B / sec
+        train_detail["train_loss_sample"] = float(parts["total_loss"])
+
     detail = {
         "device": str(device),
         "platform": device.platform,
@@ -154,6 +196,7 @@ def main():
         "forward_clips_per_sec": fwd_clips_per_sec,
         "forward_sec_per_batch": med,
         "p50_latency_s_batch1": p50_latency,
+        **train_detail,
     }
 
     if not args.skip_preprocessing:

@@ -258,8 +258,11 @@ class ContrastiveFusion(nn.Module):
             h = nn.Dense(E, dtype=self.dtype, name=f"{name}_0")(x)
             h = nn.relu(h)
             h = nn.Dense(E // 2, dtype=self.dtype, name=f"{name}_2")(h)
-            norm = jnp.linalg.norm(h.astype(jnp.float32), axis=-1, keepdims=True)
-            return (h / jnp.maximum(norm, 1e-12).astype(self.dtype))
+            # smooth L2 normalize: sqrt's gradient at an exactly-zero vector
+            # is NaN (hit whenever modality dropout zeroes a modality);
+            # rsqrt(|h|²+eps) matches torch F.normalize's 0-subgradient there
+            sq = jnp.sum(h.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+            return h * jax.lax.rsqrt(sq + 1e-12).astype(self.dtype)
 
         text_proj = projector("text_projector", text)
         audio_proj = projector("audio_projector", audio)

@@ -227,3 +227,33 @@ def test_grad_flow(early_setup):
     norms = [float(jnp.abs(g).max()) for g in jax.tree_util.tree_leaves(grads)]
     assert all(np.isfinite(n) for n in norms)
     assert max(norms) > 0
+
+
+def test_contrastive_grad_finite_with_dropped_modality(cfg):
+    """Regression: a modality zeroed by modality-dropout makes the
+    contrastive projector output exactly 0; naive L2-normalize has a NaN
+    gradient there (sqrt'(0))."""
+    import jax.numpy as jnp
+
+    from simple_multimodal_tpu.models.fusion import ContrastiveFusion
+
+    c = fusion_cfg(cfg, "contrastive")
+    m = ContrastiveFusion(c)
+    rng = np.random.default_rng(0)
+    t = rng.standard_normal((2, c.fusion_hidden_size)).astype(np.float32)
+    a = np.zeros((2, c.fusion_hidden_size), np.float32)  # dropped modality
+    v = rng.standard_normal((2, c.fusion_hidden_size)).astype(np.float32)
+    params = m.init(jax.random.PRNGKey(0), t, a, v, True)
+
+    @jax.jit
+    def gfn(p):
+        def loss(p):
+            out = m.apply(p, t, a, v, True)
+            return sum(out["contrastive_losses"].values())
+        return jax.grad(loss)(p)
+
+    grads = gfn(params)
+    assert all(
+        bool(jnp.all(jnp.isfinite(g)))
+        for g in jax.tree_util.tree_leaves(grads)
+    )
