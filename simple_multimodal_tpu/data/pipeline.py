@@ -8,10 +8,14 @@ flight using JAX's async dispatch, optionally placing them with a
 receives only its shard of the batch).
 """
 import collections
+import queue as queue_mod
+import threading
 from typing import Iterable, Iterator, Optional
 
 import jax
 import numpy as np
+
+_SENTINEL = object()
 
 
 def _device_put_batch(batch, sharding=None):
@@ -26,20 +30,49 @@ def _device_put_batch(batch, sharding=None):
 
 
 def prefetch_to_device(iterator: Iterable, size: int = 2,
-                       sharding=None) -> Iterator:
-    """Yield device-resident batches while the next transfers are in flight."""
-    queue = collections.deque()
-    it = iter(iterator)
+                       sharding=None, background: bool = True) -> Iterator:
+    """Yield device-resident batches with the next ones already in flight.
 
-    def enqueue(n):
-        for _ in range(n):
-            try:
-                batch = next(it)
-            except StopIteration:
-                return
-            queue.append(_device_put_batch(batch, sharding))
+    With ``background=True`` a producer thread runs host-side work (decode,
+    collate) concurrently with the consumer's device steps, so the decode
+    cost hides behind compute; device transfers are issued ahead via JAX's
+    async dispatch either way.
+    """
+    if not background:
+        dq = collections.deque()
+        it = iter(iterator)
 
-    enqueue(size)
-    while queue:
-        yield queue.popleft()
-        enqueue(1)
+        def enqueue(n):
+            for _ in range(n):
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    return
+                dq.append(_device_put_batch(batch, sharding))
+
+        enqueue(size)
+        while dq:
+            yield dq.popleft()
+            enqueue(1)
+        return
+
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(_device_put_batch(batch, sharding))
+        except BaseException as e:  # surface errors to the consumer
+            q.put(e)
+            return
+        q.put(_SENTINEL)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
