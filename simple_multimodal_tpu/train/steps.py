@@ -48,12 +48,18 @@ def make_train_step(
     """
     model_kwargs = dict(model_kwargs or {})
 
+    from ..models.multimodal_model import resolve_dtype
+
+    compute_dtype = resolve_dtype(config)
+
     def step(state: TrainState, batch):
         rng, rng_aug, rng_drop, rng_miss = jax.random.split(state.rng, 4)
         audio = batch["audio"]
         video = batch["video"]
         if video.dtype == jnp.uint8:
-            video = video.astype(jnp.float32) / 255.0
+            # normalize at compute dtype: a [B,30,224,224,3] f32 buffer would
+            # double peak HBM vs bf16
+            video = video.astype(compute_dtype) / 255.0
         if augment:
             audio, video = augment_batch(rng_aug, audio, video)
         text = batch["text"]

@@ -144,3 +144,24 @@ def test_augment_shapes(tiny_config):
     assert a2.shape == audio.shape
     assert v2.shape == video.shape
     assert np.all(np.asarray(v2) >= 0) and np.all(np.asarray(v2) <= 1)
+
+
+def test_config_roundtrip(tmp_path):
+    from simple_multimodal_tpu.config import (
+        DataConfig, ModelConfig, config_from_dict, config_to_dict,
+        load_config_json, save_config_json,
+    )
+
+    cfg = ModelConfig(batch_size=4, data_path=str(tmp_path / "d"),
+                      save_path=str(tmp_path / "c"), log_path=str(tmp_path / "l"))
+    cfg.fusion_type = "mult"  # attached attr, like the reference CLI does
+    dc = DataConfig(primary_dataset="meld")
+    path = tmp_path / "final_config.json"
+    save_config_json(str(path), model_config=cfg, data_config=dc)
+    data = load_config_json(str(path))
+    assert data["model_config"]["fusion_type"] == "mult"
+    assert data["data_config"]["primary_dataset"] == "meld"
+    back = config_from_dict(ModelConfig, data["model_config"])
+    assert back.batch_size == 4
+    assert back.fusion_type == "mult"
+    assert back.video_frame_size == (224, 224)  # list→tuple normalization
