@@ -62,6 +62,24 @@ def make_schedule(learning_rate: float, total_steps: int,
     )
 
 
+def _freeze_tree(params, freeze_mask):
+    """Bool pytree: True where the path falls under a True freeze_mask node."""
+
+    def frozen(path, _):
+        sub = freeze_mask
+        for p in path:
+            if sub is True:
+                return True
+            k = getattr(p, "key", str(p))
+            if isinstance(sub, dict) and k in sub:
+                sub = sub[k]
+            else:
+                return False
+        return sub is True
+
+    return jax.tree_util.tree_map_with_path(frozen, params)
+
+
 def make_optimizer(
     config,
     params,
@@ -71,47 +89,31 @@ def make_optimizer(
 ) -> optax.GradientTransformation:
     """AdamW + OneCycle + clip, with scaled-LR backbones and optional freezes.
 
-    ``freeze_mask``: pytree of bools, True → parameter is frozen (used for
+    Built as ONE chain with masked stateless scaling rather than
+    ``optax.multi_transform`` over per-group AdamW instances:
+    multi_transform initializes each group's Adam moments over the *full*
+    parameter tree, which triples optimizer memory (≈10 GB for the flagship)
+    and pushed training into HBM spill. Here mu/nu exist once; the 0.1×
+    backbone group and frozen subtrees are masked update scalings.
+
+    ``freeze_mask``: nested dict of bools, True → subtree is frozen (used for
     the distillation teacher and few-shot episodes).
     """
     schedule = make_schedule(config.learning_rate, total_steps)
-
-    def adamw(scale):
-        return optax.chain(
-            optax.clip_by_global_norm(config.gradient_clip_norm),
-            optax.adamw(
-                learning_rate=lambda step: schedule(step) * scale,
-                b1=0.9, b2=0.999, eps=1e-8,
-                weight_decay=config.weight_decay,
-            ),
-        )
-
     bb_mask = backbone_mask(params)
-    transforms = {
-        "backbone": adamw(backbone_lr_scale),
-        "new": adamw(1.0),
-        "frozen": optax.set_to_zero(),
-    }
 
-    def label_fn(params):
-        def label(path, _):
-            if freeze_mask is not None:
-                sub = freeze_mask
-                ok = True
-                for p in path:
-                    k = getattr(p, "key", str(p))
-                    if isinstance(sub, dict) and k in sub:
-                        sub = sub[k]
-                    else:
-                        ok = False
-                        break
-                if ok and sub is True:
-                    return "frozen"
-            return "backbone" if is_backbone_path(path) else "new"
-
-        return jax.tree_util.tree_map_with_path(label, params)
-
-    return optax.multi_transform(transforms, label_fn)
+    chain = [
+        optax.clip_by_global_norm(config.gradient_clip_norm),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.add_decayed_weights(config.weight_decay),
+        optax.masked(optax.scale(backbone_lr_scale), bb_mask),
+        optax.scale_by_learning_rate(schedule),  # scales by −lr(step)
+    ]
+    if freeze_mask is not None:
+        chain.append(
+            optax.masked(optax.set_to_zero(), _freeze_tree(params, freeze_mask))
+        )
+    return optax.chain(*chain)
 
 
 def make_trainable_only_optimizer(config, params,
