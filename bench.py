@@ -115,9 +115,15 @@ def main():
     def forward(params, text, audio, video):
         return model.apply(params, text, audio, video)["emotion_logits"]
 
+    def sync(x):
+        # device_get of the (tiny) logits: forces true completion. Through
+        # relayed/virtualized devices block_until_ready can return at enqueue
+        # time, silently under-reporting step times.
+        return np.asarray(jax.device_get(x))
+
     t0 = time.time()
     out = forward(params, batch["text"], batch["audio"], batch["video"])
-    out.block_until_ready()
+    sync(out)
     compile_s = time.time() - t0
 
     # vary inputs across iters so nothing is memoized; block every iter
@@ -128,7 +134,7 @@ def main():
         for i in range(args.iters):
             t0 = time.time()
             out = forward(params, batch["text"], audios[i], batch["video"])
-            out.block_until_ready()
+            sync(out)
             times.append(time.time() - t0)
         return times
 
@@ -153,7 +159,7 @@ def main():
     for i in range(max(args.iters, 5)):
         t0 = time.time()
         out = forward(params, one["text"], one["audio"] + i * 1e-3, one["video"])
-        out.block_until_ready()
+        sync(out)
         lat.append(time.time() - t0)
     p50_latency = float(np.median(lat))
 
@@ -171,13 +177,15 @@ def main():
         tb["emotion"] = rng.integers(0, cfg.num_emotions, (B,)).astype(np.int32)
         t0 = time.time()
         state, parts = step(state, tb)
-        jax.block_until_ready(parts)
+        float(jax.device_get(parts["total_loss"]))
         train_detail["train_compile_s"] = time.time() - t0
         t0 = time.time()
         n_train = max(args.iters // 2, 3)
         for _ in range(n_train):
             state, parts = step(state, tb)
-        jax.block_until_ready(parts)
+        # fetch a param leaf scalar: forces the full update to complete
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        float(jax.device_get(leaf.reshape(-1)[0]))
         sec = (time.time() - t0) / n_train
         train_detail["train_sec_per_step"] = sec
         train_detail["train_clips_per_sec"] = B / sec

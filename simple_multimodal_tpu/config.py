@@ -90,6 +90,9 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # Gradient-checkpoint (remat) the encoder transformer stacks.
     remat_encoders: bool = True
+    # Datasets smaller than this stay device-resident across epochs (the
+    # host→device boundary is paid once). 0 disables.
+    device_data_cache_mb: int = 2048
 
     def __post_init__(self):
         if self.emotion_labels is None:

@@ -93,16 +93,27 @@ class MultimodalDataset:
             pass
         return arr
 
+    # Audio crosses the host→device boundary as int16 (the WAV source
+    # precision): half the transfer bytes and cache size; encoders and train
+    # steps dequantize on device. Set ship_audio_int16=False for f32.
+    ship_audio_int16 = True
+
     def _audio(self, rel_path: str) -> np.ndarray:
         full = self.data_path / rel_path
+        dtype = np.int16 if self.ship_audio_int16 else np.float32
         if not full.exists():
-            return np.zeros(self.config.audio_max_length, np.float32)
-        return self._cached(
-            full, "aud",
-            lambda: load_audio_fixed(
+            return np.zeros(self.config.audio_max_length, dtype)
+
+        def load():
+            wav = load_audio_fixed(
                 full, self.config.audio_sample_rate, self.config.audio_max_length
-            ),
-        )
+            )
+            if self.ship_audio_int16:
+                return np.clip(wav * 32768.0, -32768, 32767).astype(np.int16)
+            return wav
+
+        return self._cached(full, "aud16" if self.ship_audio_int16 else "aud",
+                            load)
 
     def _video(self, rel_path: str) -> np.ndarray:
         full = self.data_path / rel_path

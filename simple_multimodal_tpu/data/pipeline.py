@@ -76,3 +76,43 @@ def prefetch_to_device(iterator: Iterable, size: int = 2,
         if isinstance(item, BaseException):
             raise item
         yield item
+
+
+class DeviceCachedLoader:
+    """Keeps every batch device-resident across epochs.
+
+    For datasets that fit in spare HBM, batches transfer to the device once
+    and every later epoch is pure compute — the host↔device boundary (the
+    slowest link on tunneled/virtualized TPUs, and a real cost on any pod)
+    is paid exactly once. Batch composition is frozen at cache time; epochs
+    reshuffle the batch ORDER (document: intra-batch composition is static).
+    """
+
+    def __init__(self, loader, sharding=None, seed: int = 0):
+        import numpy as _np
+
+        self._rng = _np.random.default_rng(seed)
+        self.batches = [
+            _device_put_batch(b, sharding) for b in loader
+        ]
+        self.dataset = getattr(loader, "dataset", None)
+        self._epoch = 0
+
+    def __len__(self):
+        return len(self.batches)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __iter__(self):
+        order = self._rng.permutation(len(self.batches))
+        for i in order:
+            yield self.batches[int(i)]
+
+
+def estimate_batch_bytes(batch) -> int:
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(batch):
+        if isinstance(leaf, np.ndarray):
+            total += leaf.nbytes
+    return total

@@ -84,7 +84,7 @@ class DisentangledSelfAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, attention_bias, rel_embeddings, rel_pos,
+    def __call__(self, hidden, attention_bias, rel_embeddings, rel_select,
                  deterministic: bool = True):
         cfg = self.config
         B, S, E = hidden.shape
@@ -108,29 +108,30 @@ class DisentangledSelfAttention(nn.Module):
         )
 
         # --- disentangled bias (share_att_key=True: reuse q/k projections) ---
+        # The (q,k)→bucket selection is a static pattern; the bias "gather"
+        # runs as one-hot einsums on the MXU instead of take_along_axis
+        # (TPU gathers over a [B,H,S,S] tensor were ~50x slower than the
+        # whole rest of the encoder).
+        c2p_sel, p2c_sel = rel_select  # [S, S, 2*span] one-hots
         rel_embeddings = nn.Dropout(cfg.hidden_dropout)(
             rel_embeddings, deterministic=deterministic
         )
         pos_q = q_proj(rel_embeddings).reshape(2 * span, H, D)
         pos_k = k_proj(rel_embeddings).reshape(2 * span, H, D)
 
-        # c2p: score[q, bucket(q−k)] gathered over the 2*span axis
+        # c2p: bias[q,k] = q[q]·pos_k[bucket(q−k)]
         c2p = jnp.einsum("bhqd,phd->bhqp", q, pos_k,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        c2p = jnp.einsum("bhqp,qkp->bhqk", c2p, c2p_sel,
                          preferred_element_type=jnp.float32)
-        c2p_idx = jnp.clip(rel_pos + span, 0, 2 * span - 1)[None, None]
-        c2p = jnp.take_along_axis(
-            c2p, jnp.broadcast_to(c2p_idx, (B, H, S, S)), axis=-1
-        )
         scores = scores + c2p / scale
 
-        # p2c: key·pos_query gathered at bucket(−(k−q)), then (q,k)-transposed
+        # p2c: bias[q,k] = k[k]·pos_q[bucket(−(k−q))]
         p2c = jnp.einsum("bhkd,phd->bhkp", k, pos_q,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        p2c = jnp.einsum("bhkp,kqp->bhqk", p2c, p2c_sel,
                          preferred_element_type=jnp.float32)
-        p2c_idx = jnp.clip(-rel_pos + span, 0, 2 * span - 1)[None, None]
-        p2c = jnp.take_along_axis(
-            p2c, jnp.broadcast_to(p2c_idx, (B, H, S, S)), axis=-1
-        )
-        scores = scores + jnp.swapaxes(p2c, -1, -2) / scale
+        scores = scores + p2c / scale
 
         scores = scores + attention_bias  # additive −inf on masked keys
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
@@ -145,11 +146,11 @@ class DebertaLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, attention_bias, rel_embeddings, rel_pos,
+    def __call__(self, hidden, attention_bias, rel_embeddings, rel_select,
                  deterministic: bool = True):
         cfg = self.config
         attn = DisentangledSelfAttention(cfg, dtype=self.dtype, name="self")(
-            hidden, attention_bias, rel_embeddings, rel_pos, deterministic
+            hidden, attention_bias, rel_embeddings, rel_select, deterministic
         )
         attn = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="attn_out_dense")(attn)
         attn = nn.Dropout(cfg.hidden_dropout)(attn, deterministic=deterministic)
@@ -213,9 +214,16 @@ class DebertaModel(nn.Module):
         pair = m[:, None, :, None] & m[:, None, None, :]
         attention_bias = jnp.where(pair, 0.0, jnp.finfo(jnp.float32).min)
 
-        rel_pos = jnp.asarray(
-            log_bucket_positions(S, cfg.position_buckets, cfg.max_position_embeddings)
-        )
+        span = cfg.position_buckets
+        rel_pos = log_bucket_positions(S, span, cfg.max_position_embeddings)
+        # Static one-hot bucket selections, computed once and shared by every
+        # layer (the bias gathers run as MXU einsums against these).
+        c2p_idx = np.clip(rel_pos + span, 0, 2 * span - 1)
+        p2c_idx = np.clip(-rel_pos + span, 0, 2 * span - 1)
+        c2p_sel = jax.nn.one_hot(c2p_idx, 2 * span, dtype=self.dtype)
+        p2c_sel = jax.nn.one_hot(p2c_idx, 2 * span, dtype=self.dtype)
+        rel_select = (c2p_sel, p2c_sel)
+
         rel_emb_table = self.param(
             "rel_embeddings", nn.initializers.normal(0.02),
             (2 * cfg.position_buckets, cfg.hidden_size),
@@ -229,6 +237,6 @@ class DebertaModel(nn.Module):
         )
         for i in range(cfg.num_layers):
             hidden = layer_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(
-                hidden, attention_bias, rel_embeddings, rel_pos, deterministic
+                hidden, attention_bias, rel_embeddings, rel_select, deterministic
             )
         return hidden

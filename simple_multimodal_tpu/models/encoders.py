@@ -127,6 +127,10 @@ class AudioEncoder(nn.Module):
     def __call__(self, waveform: jnp.ndarray, use_adapter: bool = False,
                  deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         cfg = self.config
+        if waveform.dtype == jnp.int16:
+            # audio ships across the host→device boundary as int16 (the WAV
+            # source precision): half the transfer bytes, dequantized here
+            waveform = waveform.astype(self.dtype) / 32768.0
         _, audio_cfg, _ = resolve_backbone_configs(cfg)
         sequence_output = Wav2Vec2Model(
             audio_cfg, dtype=self.dtype,

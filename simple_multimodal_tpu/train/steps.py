@@ -55,6 +55,8 @@ def make_train_step(
     def step(state: TrainState, batch):
         rng, rng_aug, rng_drop, rng_miss = jax.random.split(state.rng, 4)
         audio = batch["audio"]
+        if audio.dtype == jnp.int16:  # wire format; dequantize on device
+            audio = audio.astype(jnp.float32) / 32768.0
         video = batch["video"]
         if video.dtype == jnp.uint8:
             # normalize at compute dtype: a [B,30,224,224,3] f32 buffer would

@@ -27,7 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.pipeline import prefetch_to_device
+from ..data.pipeline import (
+    DeviceCachedLoader,
+    estimate_batch_bytes,
+    prefetch_to_device,
+)
 from ..parallel.mesh import batch_sharding, make_mesh, replicated
 from .checkpoint import save_checkpoint
 from .optim import make_optimizer, make_trainable_only_optimizer
@@ -138,6 +142,24 @@ class AdvancedTrainer:
         self.epoch_times: List[float] = []
         self._schedule_total_steps = total_steps
 
+        # Small datasets: keep every batch device-resident across epochs
+        # (one-time transfer; epochs become pure compute).
+        budget = getattr(config, "device_data_cache_mb", 0) * 1_000_000
+        if budget > 0 and jax.default_backend() == "tpu":
+            sample = next(iter(train_loader))
+            per_batch = estimate_batch_bytes(sample)
+            total = per_batch * (len(train_loader) + len(val_loader)
+                                 + (len(test_loader) if test_loader else 0))
+            if total <= budget:
+                print(f"Device-caching dataset ({total / 1e6:.0f} MB)")
+                self.train_loader = DeviceCachedLoader(
+                    train_loader, self.batch_sharding, seed=seed)
+                self.val_loader = DeviceCachedLoader(
+                    val_loader, self.batch_sharding, seed=seed)
+                if test_loader:
+                    self.test_loader = DeviceCachedLoader(
+                        test_loader, self.batch_sharding, seed=seed)
+
         self.patience = getattr(config, "patience", 10)
         self.patience_counter = 0
         self.use_wandb = bool(getattr(config, "use_wandb", False)) and _HAS_WANDB
@@ -145,11 +167,16 @@ class AdvancedTrainer:
             wandb.init(project="multimodal-emotion", config=vars(config))
 
     # ------------------------------------------------------------------ train
+    def _iter(self, loader):
+        if isinstance(loader, DeviceCachedLoader):
+            return iter(loader)
+        return prefetch_to_device(loader, size=2)
+
     def train_epoch(self) -> Dict[str, float]:
         sums: Dict[str, float] = {}
         n = 0
         self.train_loader.set_epoch(self.current_epoch)
-        for batch in prefetch_to_device(self.train_loader, size=2):
+        for batch in self._iter(self.train_loader):
             self.state, parts = self.train_step(self.state, device_batch(batch))
             n += 1
             if n == len(self.train_loader):  # sync metrics once per epoch
@@ -161,7 +188,7 @@ class AdvancedTrainer:
     def validate(self):
         preds, targets, probs = [], [], []
         total_loss, batches = 0.0, 0
-        for batch in prefetch_to_device(self.val_loader, size=2):
+        for batch in self._iter(self.val_loader):
             out = self.eval_step(self.state.params, device_batch(batch))
             out = jax.device_get(out)
             preds.extend(np.asarray(out["predictions"]).tolist())
@@ -256,7 +283,7 @@ class AdvancedTrainer:
         if not self.test_loader:
             return {}
         preds, targets = [], []
-        for batch in prefetch_to_device(self.test_loader, size=2):
+        for batch in self._iter(self.test_loader):
             out = self.eval_step(self.state.params, device_batch(batch))
             preds.extend(np.asarray(out["predictions"]).tolist())
             targets.extend(np.asarray(batch["emotion"]).tolist())
@@ -401,7 +428,7 @@ class RobustnessTrainer(AdvancedTrainer):
     def train_with_missing_modalities(self) -> Dict[str, float]:
         total, n = 0.0, 0
         self.train_loader.set_epoch(self.current_epoch)
-        for batch in prefetch_to_device(self.train_loader, size=2):
+        for batch in self._iter(self.train_loader):
             self.state, parts = self.robust_train_step(
                 self.state, device_batch(batch)
             )
@@ -420,7 +447,7 @@ class RobustnessTrainer(AdvancedTrainer):
                 missing_modalities=missing or None,
             )
             preds, targets = [], []
-            for batch in prefetch_to_device(self.val_loader, size=2):
+            for batch in self._iter(self.val_loader):
                 out = step(self.state.params, device_batch(batch))
                 preds.extend(np.asarray(out["predictions"]).tolist())
                 targets.extend(np.asarray(batch["emotion"]).tolist())

@@ -115,7 +115,7 @@ def test_dataset_cache_hit(sample_dataset_dir, tiny_config):
     ds = get_dataset("sample", str(sample_dataset_dir), "val", tiny_config)
     _ = ds[0]
     row = ds.data[0]
-    cache = (sample_dataset_dir / row["audio_path"]).with_suffix(".wav.aud.npy")
+    cache = (sample_dataset_dir / row["audio_path"]).with_suffix(".wav.aud16.npy")
     assert cache.exists()
     item2 = ds[0]
     assert item2["audio"].shape == (tiny_config.audio_max_length,)
