@@ -92,12 +92,14 @@ def main():
 
     B = args.batch
     rng = np.random.default_rng(0)
+    # wire formats: int16 audio, uint8 video (what the data pipeline ships)
     batch = {
         "text": {
             "input_ids": rng.integers(1, 120000, (B, cfg.text_max_length)).astype(np.int32),
             "attention_mask": np.ones((B, cfg.text_max_length), np.int32),
         },
-        "audio": rng.standard_normal((B, cfg.audio_max_length)).astype(np.float32),
+        "audio": (rng.standard_normal((B, cfg.audio_max_length)) * 8000)
+        .astype(np.int16),
         "video": rng.integers(0, 255, (B, cfg.video_max_frames,
                                        *cfg.video_frame_size, 3)).astype(np.uint8),
     }
@@ -147,6 +149,21 @@ def main():
     else:
         times = timed_loop()
     med = float(np.median(times))
+
+    # compute-only throughput: inputs already device-resident (the steady
+    # state under DeviceCachedLoader, or hosts with real PCIe bandwidth)
+    dev_batch = jax.device_put(batch)
+    jax.block_until_ready(dev_batch)
+    sync(forward(params, dev_batch["text"], dev_batch["audio"],
+                 dev_batch["video"]))
+    dev_times = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        out = forward(params, dev_batch["text"], dev_batch["audio"],
+                      dev_batch["video"])
+        sync(out)
+        dev_times.append(time.time() - t0)
+    dev_med = float(np.median(dev_times))
     fwd_clips_per_sec = B / med
 
     # single-clip latency (p50)
@@ -203,6 +220,8 @@ def main():
         "compile_s": compile_s,
         "forward_clips_per_sec": fwd_clips_per_sec,
         "forward_sec_per_batch": med,
+        "forward_clips_per_sec_device_resident": B / dev_med,
+        "forward_sec_per_batch_device_resident": dev_med,
         "p50_latency_s_batch1": p50_latency,
         **train_detail,
     }
