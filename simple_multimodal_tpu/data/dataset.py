@@ -251,7 +251,9 @@ class DataLoader:
                 break
             if len(idx) < self.batch_size:
                 # wrap-pad to keep shapes static; duplicates share sample_ids
-                pad = order[: self.batch_size - len(idx)]
+                # (cycle: the dataset may be smaller than one batch)
+                reps = int(np.ceil((self.batch_size - len(idx)) / n))
+                pad = np.tile(order, reps)[: self.batch_size - len(idx)]
                 idx = np.concatenate([idx, pad])
             yield collate([self.dataset[int(i)] for i in idx])
 

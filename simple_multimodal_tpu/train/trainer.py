@@ -83,6 +83,14 @@ class AdvancedTrainer:
             init_params = jax.jit(self.model.init)(
                 init_rng, sample["text"], sample["audio"], sample["video"]
             )
+        if self.mesh.size > 1:
+            # place params per the TP partition rules (replicated where not
+            # partitioned); batches are sharded over the data axis in _iter
+            from ..parallel.mesh import params_shardings
+
+            init_params = jax.device_put(
+                init_params, params_shardings(self.mesh, init_params)
+            )
         self.num_params = sum(
             int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(init_params)
         )
@@ -170,7 +178,8 @@ class AdvancedTrainer:
     def _iter(self, loader):
         if isinstance(loader, DeviceCachedLoader):
             return iter(loader)
-        return prefetch_to_device(loader, size=2)
+        sharding = self.batch_sharding if self.mesh.size > 1 else None
+        return prefetch_to_device(loader, size=2, sharding=sharding)
 
     def train_epoch(self) -> Dict[str, float]:
         sums: Dict[str, float] = {}

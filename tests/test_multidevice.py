@@ -105,3 +105,35 @@ def test_tp_matches_replicated(setup):
                                                          batch_sharding(mesh))))
     np.testing.assert_allclose(np.asarray(ref["logits"]),
                                np.asarray(out["logits"]), atol=1e-4)
+
+
+def test_trainer_dp_mesh(tiny_config, tmp_path_factory):
+    """AdvancedTrainer end-to-end on an 8-way data-parallel mesh."""
+    import dataclasses
+
+    from simple_multimodal_tpu.data import create_dataloader, create_sample_dataset, get_dataset
+    from simple_multimodal_tpu.models import create_model
+    from simple_multimodal_tpu.train.trainer import AdvancedTrainer
+
+    d = tmp_path_factory.mktemp("mesh_data")
+    create_sample_dataset(str(d), num_samples_per_emotion=2, duration=0.3)
+    c = dataclasses.replace(tiny_config)
+    c.fusion_type = "early"
+    c.num_epochs = 1
+    c.batch_size = 8
+    c.mesh_shape = (8, 1)
+    loaders = {
+        split: create_dataloader(
+            get_dataset("sample", str(d), split, c), batch_size=8,
+            shuffle=(split == "train"))
+        for split in ("train", "val")
+    }
+    trainer = AdvancedTrainer(
+        model=create_model(c, "standard"), config=c,
+        train_loader=loaders["train"], val_loader=loaders["val"],
+    )
+    assert dict(trainer.mesh.shape) == {"data": 8, "model": 1}
+    metrics = trainer.train_epoch()
+    assert np.isfinite(metrics["total_loss"])
+    val_metrics, *_ = trainer.validate()
+    assert 0.0 <= val_metrics["val_accuracy"] <= 1.0
