@@ -165,3 +165,34 @@ def test_config_roundtrip(tmp_path):
     assert back.batch_size == 4
     assert back.fusion_type == "mult"
     assert back.video_frame_size == (224, 224)  # list→tuple normalization
+
+
+def test_loader_smaller_than_batch(sample_dataset_dir, tiny_config):
+    ds = get_dataset("sample", str(sample_dataset_dir), "val", tiny_config)
+    assert len(ds) < 8
+    loader = DataLoader(ds, batch_size=8, shuffle=False)
+    batches = list(loader)
+    assert len(batches) == 1
+    assert batches[0]["audio"].shape[0] == 8  # cycled wrap-pad
+
+
+def test_audio_ships_int16(sample_dataset_dir, tiny_config):
+    ds = get_dataset("sample", str(sample_dataset_dir), "train", tiny_config)
+    item = ds[0]
+    assert item["audio"].dtype == np.int16
+    # dequantized on device: model accepts int16 directly
+    import jax
+
+    from simple_multimodal_tpu.ops.attention import MultiHeadAttention  # noqa
+    from simple_multimodal_tpu.models.encoders import AudioEncoder
+
+    enc = AudioEncoder(tiny_config)
+    audio = np.stack([item["audio"], item["audio"]])
+    params = jax.jit(enc.init)(jax.random.PRNGKey(0), audio)
+    out = jax.jit(lambda p, a: enc.apply(p, a))(params, audio)
+    assert np.all(np.isfinite(np.asarray(out["features"])))
+    # f32 input gives the same features (within dequantization error)
+    out_f32 = jax.jit(lambda p, a: enc.apply(p, a))(
+        params, audio.astype(np.float32) / 32768.0)
+    np.testing.assert_allclose(np.asarray(out["features"]),
+                               np.asarray(out_f32["features"]), atol=1e-4)
