@@ -170,6 +170,14 @@ class AdvancedTrainer:
 
         self.patience = getattr(config, "patience", 10)
         self.patience_counter = 0
+        # best-model checkpoints: snapshot on device, write once after
+        # training (set eager_best_checkpoint for the reference's
+        # write-on-every-improvement behavior)
+        self.eager_best_checkpoint = bool(
+            getattr(config, "eager_best_checkpoint", False))
+        self._best_snapshot = None
+        self._copy_params = jax.jit(
+            lambda p: jax.tree_util.tree_map(jnp.array, p))
         self.use_wandb = bool(getattr(config, "use_wandb", False)) and _HAS_WANDB
         if self.use_wandb:  # pragma: no cover
             wandb.init(project="multimodal-emotion", config=vars(config))
@@ -260,7 +268,16 @@ class AdvancedTrainer:
             if val_metrics["val_f1_macro"] > self.best_val_f1:
                 self.best_val_f1 = val_metrics["val_f1_macro"]
                 self.best_val_acc = val_metrics["val_accuracy"]
-                self.save_checkpoint("best_model", epoch, val_metrics)
+                if self.eager_best_checkpoint:
+                    self.save_checkpoint("best_model", epoch, val_metrics)
+                else:
+                    # device-side snapshot; written once after training —
+                    # a params transfer per improvement costs minutes on
+                    # low-bandwidth host links
+                    self._best_snapshot = (
+                        epoch, dict(val_metrics),
+                        self._copy_params(self.state.params),
+                    )
                 self.patience_counter = 0
                 self.plot_confusion_matrix(targets, predictions, epoch)
             else:
@@ -273,6 +290,15 @@ class AdvancedTrainer:
             if (epoch + 1) % 10 == 0:
                 self.save_checkpoint(f"checkpoint_epoch_{epoch + 1}", epoch,
                                      val_metrics)
+
+        if self._best_snapshot is not None:
+            best_epoch, best_metrics, best_params = self._best_snapshot
+            best_state = TrainState(step=self.state.step, params=best_params,
+                                    opt_state=None, rng=self.state.rng)
+            path = Path(self.config.save_path) / "best_model"
+            save_checkpoint(str(path), best_state, metrics=best_metrics,
+                            epoch=best_epoch, config=self.config)
+            print(f"Checkpoint saved: {path} (best epoch {best_epoch + 1})")
 
         if self.test_loader:
             test_metrics = self.evaluate_test_set()

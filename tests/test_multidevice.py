@@ -133,7 +133,12 @@ def test_trainer_dp_mesh(tiny_config, tmp_path_factory):
         train_loader=loaders["train"], val_loader=loaders["val"],
     )
     assert dict(trainer.mesh.shape) == {"data": 8, "model": 1}
-    metrics = trainer.train_epoch()
-    assert np.isfinite(metrics["total_loss"])
-    val_metrics, *_ = trainer.validate()
-    assert 0.0 <= val_metrics["val_accuracy"] <= 1.0
+    history = trainer.train()  # full loop: epoch, validate, checkpoints, plots
+    assert len(history["train_losses"]) == 1
+    assert np.isfinite(history["train_losses"][0])
+    assert 0.0 <= history["val_accuracies"][0] <= 1.0
+    # deferred best checkpoint written at end when F1 improved
+    import os
+
+    if trainer.best_val_f1 > 0:
+        assert os.path.exists(os.path.join(c.save_path, "best_model"))
