@@ -58,7 +58,7 @@ class ModelEvaluator:
 
     def evaluate_dataset(self, data_loader) -> Dict:
         all_predictions, all_targets, all_probabilities = [], [], []
-        all_features = []
+        all_features, all_ids = [], []
         individual = {"text": [], "audio": [], "video": []}
 
         print("Running evaluation...")
@@ -70,16 +70,26 @@ class ModelEvaluator:
             all_targets.extend(np.asarray(batch["emotion"]).tolist())
             all_probabilities.extend(np.asarray(out["probs"]).tolist())
             all_features.extend(np.asarray(out["features"]).tolist())
+            all_ids.extend(batch["sample_ids"])
             if "individual_logits" in out:
                 for modality, logits in out["individual_logits"].items():
                     individual[modality].extend(
                         np.argmax(np.asarray(logits), axis=-1).tolist()
                     )
 
-        targets = np.array(all_targets)
-        predictions = np.array(all_predictions)
-        probabilities = np.array(all_probabilities)
-        features = np.array(all_features) if all_features else None
+        # drop wrap-padded duplicates: each dataset item counts exactly once
+        from ..train.trainer import dedupe_by_sample_id
+
+        keep_arrays = dedupe_by_sample_id(
+            all_ids, all_predictions, all_targets, all_probabilities,
+            all_features,
+        )
+        predictions, targets, probabilities, features = keep_arrays
+        for modality in list(individual):
+            if individual[modality]:
+                individual[modality] = dedupe_by_sample_id(
+                    all_ids, individual[modality])[0].tolist()
+        features = features if len(features) else None
 
         metrics = calculate_metrics(targets, predictions, probabilities,
                                     self.config.emotion_labels)

@@ -47,6 +47,18 @@ except Exception:
     _HAS_WANDB = False
 
 
+def dedupe_by_sample_id(ids, *arrays):
+    """Drop wrap-padded duplicates: keep the first occurrence of each id.
+
+    Batches pad to a fixed size by cycling samples (static shapes for jit);
+    metrics must count each dataset item exactly once.
+    """
+    ids = np.asarray(ids)
+    _, first = np.unique(ids, return_index=True)
+    keep = np.sort(first)
+    return tuple(np.asarray(a)[keep] for a in arrays)
+
+
 def _metrics_np(targets, predictions):
     from sklearn.metrics import accuracy_score, f1_score
 
@@ -203,7 +215,7 @@ class AdvancedTrainer:
         return {k: v for k, v in sums.items()} if n else {"total_loss": 0.0}
 
     def validate(self):
-        preds, targets, probs = [], [], []
+        preds, targets, probs, ids = [], [], [], []
         total_loss, batches = 0.0, 0
         for batch in self._iter(self.val_loader):
             out = self.eval_step(self.state.params, device_batch(batch))
@@ -211,8 +223,11 @@ class AdvancedTrainer:
             preds.extend(np.asarray(out["predictions"]).tolist())
             targets.extend(np.asarray(batch["emotion"]).tolist())
             probs.extend(np.asarray(out["probs"]).tolist())
+            ids.extend(batch["sample_ids"])
             total_loss += float(out["loss"])
             batches += 1
+        preds, targets, probs = dedupe_by_sample_id(ids, preds, targets, probs)
+        preds, targets = preds.tolist(), targets.tolist()
         m = _metrics_np(targets, preds)
         metrics = {
             "val_loss": total_loss / max(batches, 1),
@@ -317,11 +332,13 @@ class AdvancedTrainer:
     def evaluate_test_set(self) -> Dict[str, float]:
         if not self.test_loader:
             return {}
-        preds, targets = [], []
+        preds, targets, ids = [], [], []
         for batch in self._iter(self.test_loader):
             out = self.eval_step(self.state.params, device_batch(batch))
             preds.extend(np.asarray(out["predictions"]).tolist())
             targets.extend(np.asarray(batch["emotion"]).tolist())
+            ids.extend(batch["sample_ids"])
+        preds, targets = dedupe_by_sample_id(ids, preds, targets)
         m = _metrics_np(targets, preds)
         return {
             "test_accuracy": m["accuracy"],
@@ -481,11 +498,13 @@ class RobustnessTrainer(AdvancedTrainer):
                 logits_key=self._robust_logits_key,
                 missing_modalities=missing or None,
             )
-            preds, targets = [], []
+            preds, targets, ids = [], [], []
             for batch in self._iter(self.val_loader):
                 out = step(self.state.params, device_batch(batch))
                 preds.extend(np.asarray(out["predictions"]).tolist())
                 targets.extend(np.asarray(batch["emotion"]).tolist())
+                ids.extend(batch["sample_ids"])
+            preds, targets = dedupe_by_sample_id(ids, preds, targets)
             m = _metrics_np(targets, preds)
             results[name] = {"accuracy": m["accuracy"], "f1_macro": m["f1_macro"]}
         return results
