@@ -190,8 +190,10 @@ def main():
         state = TrainState.create(params, tx, jax.random.PRNGKey(1))
         step = make_train_step(model, tx, cfg, augment=True,
                                compute_contrastive_loss=True)
-        tb = dict(batch)
-        tb["emotion"] = rng.integers(0, cfg.num_emotions, (B,)).astype(np.int32)
+        # device-resident batch: the DeviceCachedLoader steady state
+        tb = dict(jax.device_put(batch))
+        tb["emotion"] = jax.device_put(
+            rng.integers(0, cfg.num_emotions, (B,)).astype(np.int32))
         t0 = time.time()
         state, parts = step(state, tb)
         float(jax.device_get(parts["total_loss"]))

@@ -196,3 +196,41 @@ def test_audio_ships_int16(sample_dataset_dir, tiny_config):
         params, audio.astype(np.float32) / 32768.0)
     np.testing.assert_allclose(np.asarray(out["features"]),
                                np.asarray(out_f32["features"]), atol=1e-4)
+
+
+def test_kfold_and_ratio_splits(tmp_path):
+    import csv
+
+    from simple_multimodal_tpu.data.splits import (
+        kfold_csvs, kfold_indices, ratio_split,
+    )
+
+    labels = ["happy"] * 10 + ["sad"] * 10 + ["angry"] * 5
+    folds = list(kfold_indices(labels, k=5, seed=0))
+    assert len(folds) == 5
+    all_val = np.concatenate([v for _, v in folds])
+    assert sorted(all_val.tolist()) == list(range(25))  # exact partition
+    for train, val in folds:
+        assert set(train) & set(val) == set()
+        # stratification: every fold's val has the majority classes
+        val_labels = {labels[i] for i in val}
+        assert {"happy", "sad"} <= val_labels
+
+    s = ratio_split(labels, test_split=0.2, val_split=0.2, seed=0)
+    assert len(s["train"]) + len(s["val"]) + len(s["test"]) == 25
+    assert set(np.concatenate(list(s.values())).tolist()) == set(range(25))
+
+    # CSV round trip
+    rows = [{"text": f"t{i}", "audio_path": "a", "video_path": "v",
+             "emotion": labels[i], "sample_id": i} for i in range(25)]
+    combined = tmp_path / "all.csv"
+    with open(combined, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    dirs = kfold_csvs(str(combined), str(tmp_path / "folds"), k=3, seed=0)
+    assert len(dirs) == 3
+    for d in dirs:
+        for split in ("train", "val", "test"):
+            with open(f"{d}/{split}.csv", newline="") as f:
+                assert len(list(csv.DictReader(f))) > 0
