@@ -8,7 +8,7 @@ is a batched polyphase/sinc filter expressed as XLA ops so it runs on the
 accelerator as part of the input pipeline, not the host.
 """
 import wave
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import Tuple
 
 import numpy as np

@@ -10,7 +10,7 @@ receives only its shard of the batch).
 import collections
 import queue as queue_mod
 import threading
-from typing import Iterable, Iterator, Optional
+from typing import Iterable, Iterator
 
 import jax
 import numpy as np

@@ -10,7 +10,7 @@ host→device transfer is 4x smaller than the reference's float tensors.
 Layout note: this framework uses channels-last ``[T, H, W, 3]`` (the layout
 XLA:TPU prefers for convolutions); the reference uses torch's ``[T, 3, H, W]``.
 """
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

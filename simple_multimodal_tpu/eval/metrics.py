@@ -6,7 +6,7 @@ micro, precision/recall macro/weighted, OvR ROC-AUC, per-class arrays,
 sklearn classification report, and confidence statistics (incl. correct vs
 incorrect mean confidence).
 """
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -4,7 +4,7 @@ normalized), per-class bars, confidence distribution + reliability diagram,
 per-class ROC curves, t-SNE feature embedding, error analysis (incl. top
 confused pairs), and per-modality comparison. matplotlib-only (no seaborn)."""
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -15,9 +15,8 @@ Behavioral quirks preserved from the reference:
   extends the attention mask (encoders.py:49-71).
 """
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -18,8 +18,6 @@ Known reference defect, fixed here and documented: the reference stacks
 a 512-in layer). Here layer 0 maps fusion_hidden→graph_hidden and deeper
 layers map graph_hidden→graph_hidden, which is the evident intent.
 """
-from typing import Dict, Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -25,7 +25,7 @@ Design notes / documented deviations:
   accepts both ``missing_modalities`` (zeroed inputs) and
   ``available_modalities`` (ground-truth weighting).
 """
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,6 @@ batched into a single [B*T, ...] call (the reference does the same flatten,
 encoders.py:219, but then pays per-frame CUDA kernels).
 """
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -11,7 +11,7 @@ out of the scan into one large [B*T, I] x [I, 4H] matmul (MXU-friendly);
 the scan body only does the small recurrent [B, H] x [H, 4H] matmul plus
 elementwise gates, which is the irreducible sequential core.
 """
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

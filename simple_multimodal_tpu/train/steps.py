@@ -8,7 +8,6 @@ clip and AdamW update all fuse into one launch per step. Mixed precision is
 the TPU analogue of the reference's AMP path (advanced_trainer.py:131,171-176):
 bf16 activations need no GradScaler.
 """
-from functools import partial
 from typing import Callable, Optional, Sequence
 
 import jax

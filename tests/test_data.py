@@ -183,7 +183,6 @@ def test_audio_ships_int16(sample_dataset_dir, tiny_config):
     # dequantized on device: model accepts int16 directly
     import jax
 
-    from simple_multimodal_tpu.ops.attention import MultiHeadAttention  # noqa
     from simple_multimodal_tpu.models.encoders import AudioEncoder
 
     enc = AudioEncoder(tiny_config)

@@ -4,8 +4,6 @@ Builds small random-init torch models from local transformers configs (no
 network), converts weights with models/convert.py, and checks outputs match
 to ≤1e-3 (BASELINE.json logits-parity target; tolerances here are tighter).
 """
-import dataclasses
-
 import jax
 import numpy as np
 import pytest

@@ -146,7 +146,7 @@ def train_knowledge_distillation(model_config: ModelConfig,
     import jax
 
     from simple_multimodal_tpu.models import KnowledgeDistillationModel
-    from simple_multimodal_tpu.train.checkpoint import restore_params, save_params
+    from simple_multimodal_tpu.train.checkpoint import save_params
     from simple_multimodal_tpu.train.trainer import AdvancedTrainer
 
     from simple_multimodal_tpu.train.checkpoint import restore_checkpoint
