@@ -1,0 +1,96 @@
+"""Demo HTTP server test: train a tiny checkpoint, serve it, hit the API."""
+import dataclasses
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def served_demo(tiny_config, tmp_path_factory):
+    from simple_multimodal_tpu.data import create_sample_dataset
+    from simple_multimodal_tpu.models import MultimodalEmotionModel
+    from simple_multimodal_tpu.serving import MultimodalEmotionDemo
+    from simple_multimodal_tpu.train.checkpoint import save_checkpoint
+    from simple_multimodal_tpu.train.state import TrainState
+
+    base = tmp_path_factory.mktemp("demo")
+    data_dir = str(base / "data")
+    create_sample_dataset(data_dir, num_samples_per_emotion=1, duration=0.3)
+
+    c = dataclasses.replace(tiny_config)
+    c.fusion_type = "late"  # exercises per-modality breakdown
+    model = MultimodalEmotionModel(c)
+    rng = np.random.default_rng(0)
+    dummy = {
+        "text": {"input_ids": rng.integers(0, 1000, (1, c.text_max_length)).astype(np.int32),
+                 "attention_mask": np.ones((1, c.text_max_length), np.int32)},
+        "audio": rng.standard_normal((1, c.audio_max_length)).astype(np.float32),
+        "video": rng.integers(0, 255, (1, c.video_max_frames,
+                                       *c.video_frame_size, 3)).astype(np.uint8),
+    }
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), dummy["text"],
+                                 dummy["audio"], dummy["video"])
+    ckpt = str(base / "ckpt")
+    state = TrainState(step=0, params=jax.device_get(params), opt_state=None,
+                       rng=jax.random.PRNGKey(0))
+    save_checkpoint(ckpt, state, metrics={}, epoch=0, config=c)
+
+    demo = MultimodalEmotionDemo(ckpt, config=c)
+
+    import sys
+    sys.path.insert(0, "demo")
+    from serve import make_handler  # noqa: E402
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(demo))
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield port, data_dir
+    server.shutdown()
+
+
+def test_demo_page(served_demo):
+    port, _ = served_demo
+    html = urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/", timeout=120).read().decode()
+    assert "Multimodal Emotion Recognition" in html
+    assert "analyze" in html
+
+
+def test_demo_api_json(served_demo):
+    port, data_dir = served_demo
+    body = json.dumps({
+        "text": "my boss at work made this the best day ever",
+        "audio_path": f"{data_dir}/audio/happy_000.wav",
+        "video_path": f"{data_dir}/video/happy_000.mp4",
+    }).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/analyze", data=body,
+        headers={"Content-Type": "application/json"})
+    resp = json.loads(urllib.request.urlopen(req, timeout=300).read())
+    ea = resp["emotion_analysis"]
+    assert ea["predicted_emotion"] in [
+        "happy", "sad", "angry", "fear", "surprise", "disgust", "neutral"]
+    assert 0 < ea["confidence"] <= 1
+    assert len(ea["emotion_distribution"]) == 7
+    # late fusion → per-modality breakdown present
+    assert set(ea["individual_modalities"]) == {"text", "audio", "video"}
+    assert "Work situations" in resp["ai_response"]
+    assert resp["emotion_chart"]["type"] == "bar"
+    assert resp["va_chart"]["prediction"]["emotion"] == ea["predicted_emotion"]
+    assert len(resp["history"]) >= 1
+
+
+def test_demo_api_empty_input(served_demo):
+    port, _ = served_demo
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/analyze",
+        data=json.dumps({"text": ""}).encode(),
+        headers={"Content-Type": "application/json"})
+    resp = json.loads(urllib.request.urlopen(req, timeout=300).read())
+    assert resp["emotion_analysis"]  # degrades to zero modalities, still answers
