@@ -102,17 +102,24 @@ def make_optimizer(
     schedule = make_schedule(config.learning_rate, total_steps)
     bb_mask = backbone_mask(params)
 
+    adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    frozen_tree = None
+    if freeze_mask is not None:
+        frozen_tree = _freeze_tree(params, freeze_mask)
+        # don't allocate Adam moments for frozen subtrees (a frozen
+        # distillation teacher would otherwise double optimizer memory)
+        trainable_tree = jax.tree_util.tree_map(lambda f: not f, frozen_tree)
+        adam = optax.masked(adam, trainable_tree)
+
     chain = [
         optax.clip_by_global_norm(config.gradient_clip_norm),
-        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        adam,
         optax.add_decayed_weights(config.weight_decay),
         optax.masked(optax.scale(backbone_lr_scale), bb_mask),
         optax.scale_by_learning_rate(schedule),  # scales by −lr(step)
     ]
-    if freeze_mask is not None:
-        chain.append(
-            optax.masked(optax.set_to_zero(), _freeze_tree(params, freeze_mask))
-        )
+    if frozen_tree is not None:
+        chain.append(optax.masked(optax.set_to_zero(), frozen_tree))
     return optax.chain(*chain)
 
 
