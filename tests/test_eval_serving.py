@@ -80,3 +80,25 @@ def test_activity_suggestions_tiers():
     assert len([l for l in high.splitlines() if l.strip()]) >= 4
     for emotion in LABELS:
         assert "suggestions" in activity_suggestions(emotion, 0.9)
+
+
+def test_profiling_tools(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from simple_multimodal_tpu.utils.profiling import StepTimer, memory_stats, trace
+
+    timer = StepTimer(window=10)
+    for _ in range(5):
+        timer.tick()
+    s = timer.summary()
+    assert s["steps"] == 4 and s["mean_s"] >= 0
+
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((64, 64))
+    with trace(str(tmp_path / "tr")):
+        float(f(x))
+    # a trace directory with at least one artifact was produced
+    produced = list((tmp_path / "tr").rglob("*"))
+    assert produced, "no trace artifacts written"
+    memory_stats()  # must not raise
