@@ -105,8 +105,42 @@ function render(d) {
 </html>"""
 
 
-def make_handler(demo):
-    import cgi
+def _parse_multipart(body: bytes, content_type: str):
+    """Parse a multipart/form-data body into {name: (filename, bytes)}.
+
+    Stdlib-only via the email package (the cgi module is removed in
+    Python 3.13, and pyproject allows >=3.10).
+    """
+    import email.parser
+    import email.policy
+
+    head = f"Content-Type: {content_type}\r\nMIME-Version: 1.0\r\n\r\n"
+    msg = email.parser.BytesParser(policy=email.policy.HTTP).parsebytes(
+        head.encode() + body
+    )
+    fields = {}
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if name is None:
+            continue
+        payload = part.get_payload(decode=True) or b""
+        fields[name] = (part.get_filename(), payload)
+    return fields
+
+
+def _resolve_media_path(path, media_dir):
+    """Confine client-supplied file paths to the configured media directory
+    (a remote client must not be able to read arbitrary host files)."""
+    if not path:
+        return None
+    resolved = os.path.realpath(os.path.join(media_dir, path))
+    if os.path.commonpath([resolved, os.path.realpath(media_dir)]) != \
+            os.path.realpath(media_dir):
+        raise ValueError(f"Path escapes media directory: {path}")
+    return resolved
+
+
+def make_handler(demo, media_dir="."):
     from http.server import BaseHTTPRequestHandler
 
     class Handler(BaseHTTPRequestHandler):
@@ -128,18 +162,18 @@ def make_handler(demo):
             text, audio_path, video_path = "", None, None
             tmpfiles = []
             try:
+                length = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(length)
                 if ctype.startswith("multipart/form-data"):
-                    form = cgi.FieldStorage(
-                        fp=self.rfile, headers=self.headers,
-                        environ={"REQUEST_METHOD": "POST",
-                                 "CONTENT_TYPE": ctype},
-                    )
-                    text = form.getvalue("text", "") or ""
+                    form = _parse_multipart(raw, ctype)
+                    if "text" in form:
+                        text = form["text"][1].decode("utf-8", "replace")
                     for field, suffix in (("audio", ".wav"), ("video", ".mp4")):
-                        if field in form and getattr(form[field], "filename", None):
+                        filename, payload = form.get(field, (None, b""))
+                        if filename and payload:
                             f = tempfile.NamedTemporaryFile(
                                 suffix=suffix, delete=False)
-                            f.write(form[field].file.read())
+                            f.write(payload)
                             f.close()
                             tmpfiles.append(f.name)
                             if field == "audio":
@@ -147,11 +181,14 @@ def make_handler(demo):
                             else:
                                 video_path = f.name
                 else:
-                    length = int(self.headers.get("Content-Length", 0))
-                    body = json.loads(self.rfile.read(length) or b"{}")
+                    body = json.loads(raw or b"{}")
                     text = body.get("text", "")
-                    audio_path = body.get("audio_path")
-                    video_path = body.get("video_path")
+                    # JSON paths are confined to --media_dir; remote clients
+                    # should upload raw bytes via multipart instead
+                    audio_path = _resolve_media_path(
+                        body.get("audio_path"), media_dir)
+                    video_path = _resolve_media_path(
+                        body.get("video_path"), media_dir)
 
                 analysis, response, suggestions, chart, va = (
                     demo.process_multimodal_input(text, audio_path, video_path)
@@ -194,6 +231,8 @@ def main():
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--cli", action="store_true",
                         help="One-shot CLI analysis instead of serving")
+    parser.add_argument("--media_dir", type=str, default=".",
+                        help="Directory JSON-API media paths are confined to")
     parser.add_argument("--text", type=str, default="")
     parser.add_argument("--audio", type=str, default=None)
     parser.add_argument("--video", type=str, default=None)
@@ -216,7 +255,8 @@ def main():
 
     from http.server import ThreadingHTTPServer
 
-    server = ThreadingHTTPServer((args.host, args.port), make_handler(demo))
+    server = ThreadingHTTPServer(
+        (args.host, args.port), make_handler(demo, media_dir=args.media_dir))
     print(f"Demo running at http://{args.host}:{args.port}")
     server.serve_forever()
 

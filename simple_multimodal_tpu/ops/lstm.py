@@ -73,18 +73,18 @@ class LSTM(nn.Module):
         for layer in range(self.num_layers):
             in_dim = out.shape[-1]
             dir_outputs = []
+            # torch nn.LSTM initializes every weight U[-1/sqrt(H), 1/sqrt(H)]
+            # (symmetric; flax's uniform() is [0, scale) and would bias
+            # from-scratch training all-positive)
+            def lstm_init(key, shape, dtype=jnp.float32):
+                bound = 1.0 / jnp.sqrt(jnp.array(H, jnp.float32))
+                return jax.random.uniform(key, shape, dtype,
+                                          minval=-bound, maxval=bound)
+
             for d in range(num_dir):
                 suffix = f"_l{layer}" + ("_reverse" if d == 1 else "")
-                w_ih = self.param(
-                    f"w_ih{suffix}",
-                    nn.initializers.uniform(scale=2.0 / jnp.sqrt(H)),
-                    (in_dim, 4 * H),
-                )
-                w_hh = self.param(
-                    f"w_hh{suffix}",
-                    nn.initializers.uniform(scale=2.0 / jnp.sqrt(H)),
-                    (H, 4 * H),
-                )
+                w_ih = self.param(f"w_ih{suffix}", lstm_init, (in_dim, 4 * H))
+                w_hh = self.param(f"w_hh{suffix}", lstm_init, (H, 4 * H))
                 bias = self.param(
                     f"bias{suffix}", nn.initializers.zeros, (4 * H,)
                 )

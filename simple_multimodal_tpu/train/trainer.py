@@ -202,17 +202,22 @@ class AdvancedTrainer:
         return prefetch_to_device(loader, size=2, sharding=sharding)
 
     def train_epoch(self) -> Dict[str, float]:
-        sums: Dict[str, float] = {}
+        # Accumulate the loss parts on device each batch (lazy scalar adds,
+        # no host sync) and fetch the sums once; reported metrics are true
+        # epoch averages (reference: advanced_trainer.py:600-605), not the
+        # last batch's values.
+        sums = None
         n = 0
         self.train_loader.set_epoch(self.current_epoch)
         for batch in self._iter(self.train_loader):
             self.state, parts = self.train_step(self.state, device_batch(batch))
+            sums = parts if sums is None else jax.tree_util.tree_map(
+                jnp.add, sums, parts)
             n += 1
-            if n == len(self.train_loader):  # sync metrics once per epoch
-                parts = jax.device_get(parts)
-                for k, v in parts.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
-        return {k: v for k, v in sums.items()} if n else {"total_loss": 0.0}
+        if not n:
+            return {"total_loss": 0.0}
+        sums = jax.device_get(sums)
+        return {k: float(v) / n for k, v in sums.items()}
 
     def validate(self):
         preds, targets, probs, ids = [], [], [], []
@@ -478,16 +483,20 @@ class RobustnessTrainer(AdvancedTrainer):
         )
 
     def train_with_missing_modalities(self) -> Dict[str, float]:
-        total, n = 0.0, 0
+        # avg_loss really is the epoch average (device-side running sum,
+        # one host sync; reference: advanced_trainer.py:600-605).
+        total, n = None, 0
         self.train_loader.set_epoch(self.current_epoch)
         for batch in self._iter(self.train_loader):
             self.state, parts = self.robust_train_step(
                 self.state, device_batch(batch)
             )
+            loss = parts["total_loss"]
+            total = loss if total is None else total + loss
             n += 1
-            if n == len(self.train_loader):
-                total = float(jax.device_get(parts["total_loss"]))
-        return {"avg_loss": total}
+        if not n:
+            return {"avg_loss": 0.0}
+        return {"avg_loss": float(jax.device_get(total)) / n}
 
     def evaluate_robustness(self) -> Dict[str, Dict[str, float]]:
         results = {}

@@ -1,3 +1,4 @@
+import jax
 import numpy as np
 import pytest
 
@@ -233,3 +234,133 @@ def test_kfold_and_ratio_splits(tmp_path):
         for split in ("train", "val", "test"):
             with open(f"{d}/{split}.csv", newline="") as f:
                 assert len(list(csv.DictReader(f))) > 0
+
+
+def test_fewshot_episodes_resample_query(sample_dataset_dir, tiny_config):
+    """Consecutive episodes must draw DIFFERENT query batches (the reference
+    protocol reshuffles per episode; round 1 fed one fixed batch 100x)."""
+    from simple_multimodal_tpu.data import FewShotDataset, create_dataloader
+
+    train = get_dataset("sample", str(sample_dataset_dir), "train", tiny_config)
+    fs = FewShotDataset(train, n_shot=1, n_way=tiny_config.num_emotions)
+    loader = create_dataloader(fs, batch_size=3, shuffle=True, seed=0)
+    draws = [tuple(next(iter(loader))["sample_ids"]) for _ in range(6)]
+    assert len(set(draws)) > 1, "every episode saw the identical query batch"
+
+
+def test_device_cached_loader_reshuffles_batch_composition(
+        sample_dataset_dir, tiny_config):
+    from simple_multimodal_tpu.data import create_dataloader
+    from simple_multimodal_tpu.data.pipeline import DeviceCachedLoader
+
+    ds = get_dataset("sample", str(sample_dataset_dir), "train", tiny_config)
+    loader = create_dataloader(ds, batch_size=2, shuffle=False)
+    cached = DeviceCachedLoader(loader, seed=0)
+
+    def epoch_batches(epoch):
+        cached.set_epoch(epoch)
+        out = []
+        for b in cached:
+            ids = list(b["sample_ids"])
+            emo = np.asarray(jax.device_get(b["emotion"]))
+            assert emo.shape[0] == 2
+            out.append(tuple(ids))
+        return out
+
+    e0, e1 = epoch_batches(0), epoch_batches(1)
+    # same multiset of samples overall…
+    assert sorted(sum(map(list, e0), [])) == sorted(sum(map(list, e1), []))
+    # …but a different sample-to-batch assignment
+    assert set(e0) != set(e1)
+
+
+def test_device_cached_loader_labels_track_samples(
+        sample_dataset_dir, tiny_config):
+    """The gathered emotion labels must stay aligned with sample_ids."""
+    from simple_multimodal_tpu.data import create_dataloader
+    from simple_multimodal_tpu.data.pipeline import DeviceCachedLoader
+
+    ds = get_dataset("sample", str(sample_dataset_dir), "train", tiny_config)
+    loader = create_dataloader(ds, batch_size=2, shuffle=False)
+    truth = {}
+    for b in loader:
+        for sid, e in zip(b["sample_ids"], np.asarray(b["emotion"])):
+            truth[sid] = int(e)
+    cached = DeviceCachedLoader(loader, seed=1)
+    cached.set_epoch(5)
+    for b in cached:
+        for sid, e in zip(b["sample_ids"],
+                          np.asarray(jax.device_get(b["emotion"]))):
+            assert truth[sid] == int(e)
+
+
+def _mini_spm_pieces():
+    from simple_multimodal_tpu.data.spm import (
+        CONTROL, NORMAL, UNKNOWN)
+
+    return [
+        ("[PAD]", 0.0, CONTROL), ("[CLS]", 0.0, CONTROL),
+        ("[SEP]", 0.0, CONTROL), ("[UNK]", 0.0, UNKNOWN),
+        ("▁", -3.0, NORMAL),
+        ("▁hello", -1.0, NORMAL),
+        ("▁world", -1.5, NORMAL),
+        ("he", -4.0, NORMAL), ("llo", -4.0, NORMAL),
+        ("l", -5.0, NORMAL), ("o", -5.0, NORMAL),
+        ("w", -5.0, NORMAL), ("or", -4.5, NORMAL), ("ld", -4.5, NORMAL),
+        ("▁he", -3.5, NORMAL),
+    ]
+
+
+def test_spm_proto_roundtrip():
+    from simple_multimodal_tpu.data.spm import (
+        parse_model_proto, serialize_model_proto)
+
+    pieces = _mini_spm_pieces()
+    blob = serialize_model_proto(pieces)
+    parsed = parse_model_proto(blob)
+    assert [(p, t) for p, _, t in parsed] == [(p, t) for p, _, t in pieces]
+    assert np.allclose([s for _, s, _ in parsed], [s for _, s, _ in pieces])
+
+
+def test_spm_unigram_golden_ids(tmp_path):
+    """Hand-derived Viterbi segmentations over a checked-in mini unigram
+    model (the golden reference for sentencepiece semantics: best-score
+    segmentation, ▁ dummy prefix, whitespace collapse, unk merging)."""
+    from simple_multimodal_tpu.data.spm import (
+        SentencePieceUnigram, serialize_model_proto)
+
+    path = tmp_path / "spm.model"
+    path.write_bytes(serialize_model_proto(_mini_spm_pieces()))
+    sp = SentencePieceUnigram.from_file(str(path))
+
+    # "▁hello"(-1) + "▁world"(-1.5) beats every decomposition
+    assert sp.encode("hello world") == [5, 6]
+    # whitespace collapses before segmentation
+    assert sp.encode("  hello \t world ") == [5, 6]
+    # no space → "world" must be built from sub-pieces: w|or|ld
+    assert sp.encode("helloworld") == [5, 11, 12, 13]
+    # unknown run merges into ONE unk token after the matched "▁"
+    assert sp.encode("hello zzz") == [5, 4, 3]
+    assert sp.encode("") == []
+
+
+def test_spm_tokenizer_framing_and_resolution(tmp_path, monkeypatch):
+    from simple_multimodal_tpu.data.spm import serialize_model_proto
+    from simple_multimodal_tpu.data.tokenizer import SpmTokenizer, get_tokenizer
+
+    path = tmp_path / "spm.model"
+    path.write_bytes(serialize_model_proto(_mini_spm_pieces()))
+
+    tok = SpmTokenizer(str(path), model_max_length=8)
+    enc = tok(["hello world"], max_length=8)
+    # [CLS] ▁hello ▁world [SEP] pad pad pad pad
+    assert enc["input_ids"][0].tolist() == [1, 5, 6, 2, 0, 0, 0, 0]
+    assert enc["attention_mask"][0].tolist() == [1, 1, 1, 1, 0, 0, 0, 0]
+
+    # resolution: spm file found via env var → SpmTokenizer, not Hash
+    monkeypatch.setenv("SMM_SPM_MODEL", str(path))
+    got = get_tokenizer("microsoft/deberta-v3-base", max_length=8)
+    assert isinstance(got, SpmTokenizer)
+    monkeypatch.delenv("SMM_SPM_MODEL")
+    got = get_tokenizer("microsoft/deberta-v3-base", max_length=8)
+    assert isinstance(got, HashTokenizer)

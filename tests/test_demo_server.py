@@ -46,7 +46,8 @@ def served_demo(tiny_config, tmp_path_factory):
     from serve import make_handler  # noqa: E402
     from http.server import ThreadingHTTPServer
 
-    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(demo))
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(demo, media_dir=str(data_dir)))
     port = server.server_address[1]
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
@@ -94,3 +95,39 @@ def test_demo_api_empty_input(served_demo):
         headers={"Content-Type": "application/json"})
     resp = json.loads(urllib.request.urlopen(req, timeout=300).read())
     assert resp["emotion_analysis"]  # degrades to zero modalities, still answers
+
+
+def test_demo_api_rejects_path_traversal(served_demo):
+    port, _ = served_demo
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/analyze",
+        data=json.dumps({"text": "hi",
+                         "audio_path": "../../../etc/passwd"}).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        resp = urllib.request.urlopen(req, timeout=300)
+        payload = json.loads(resp.read())
+        assert "error" in payload
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+        assert "error" in json.loads(e.read())
+
+
+def test_demo_api_multipart_upload(served_demo, tmp_path):
+    port, data_dir = served_demo
+    wav = open(f"{data_dir}/audio/happy_000.wav", "rb").read()
+    boundary = "testboundary123"
+    parts = []
+    parts.append(f"--{boundary}\r\nContent-Disposition: form-data; "
+                 f'name="text"\r\n\r\nwhat a wonderful day\r\n'.encode())
+    parts.append(f"--{boundary}\r\nContent-Disposition: form-data; "
+                 f'name="audio"; filename="a.wav"\r\n'
+                 f"Content-Type: audio/wav\r\n\r\n".encode() + wav + b"\r\n")
+    parts.append(f"--{boundary}--\r\n".encode())
+    body = b"".join(parts)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/analyze", data=body,
+        headers={"Content-Type":
+                 f"multipart/form-data; boundary={boundary}"})
+    resp = json.loads(urllib.request.urlopen(req, timeout=300).read())
+    assert resp["emotion_analysis"]["predicted_emotion"]

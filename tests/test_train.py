@@ -130,3 +130,87 @@ def test_missing_modality_rate_step(setup):
     state, parts = step(state, {k: batch[k] for k in
                                 ("text", "audio", "video", "emotion")})
     assert np.isfinite(float(parts["total_loss"]))
+
+
+class _ListLoader:
+    """Minimal loader over fixed batches (no shuffle; deterministic)."""
+
+    def __init__(self, batches, dataset=None):
+        self.batches = batches
+        self.dataset = dataset
+
+    def __len__(self):
+        return len(self.batches)
+
+    def set_epoch(self, epoch):
+        pass
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def test_epoch_loss_is_mean_of_batches(tiny_config):
+    """train_epoch reports the epoch MEAN of per-batch losses (the round-1
+    implementation reported the last batch only)."""
+    import dataclasses as dc
+
+    from simple_multimodal_tpu.models import create_model
+    from simple_multimodal_tpu.train.trainer import AdvancedTrainer
+
+    c = dc.replace(tiny_config)
+    c.fusion_type = "early"
+    c.num_epochs = 1
+    batches = [make_batch(c, B=2, seed=s) for s in range(3)]
+    loader = _ListLoader(batches)
+    trainer = AdvancedTrainer(
+        model=create_model(c, "standard"), config=c,
+        train_loader=loader, val_loader=_ListLoader(batches[:1]),
+    )
+    snapshot = TrainState(
+        step=int(trainer.state.step),
+        params=jax.device_get(trainer.state.params),
+        opt_state=jax.device_get(trainer.state.opt_state),
+        rng=np.asarray(jax.device_get(trainer.state.rng)),
+    )
+    reported = trainer.train_epoch()
+
+    # replay the identical deterministic steps, collecting per-batch losses
+    from simple_multimodal_tpu.train.steps import device_batch
+
+    state = snapshot
+    per_batch = []
+    for b in batches:
+        state, parts = trainer.train_step(state, device_batch(b))
+        per_batch.append(float(jax.device_get(parts)["total_loss"]))
+    assert reported["total_loss"] == pytest.approx(np.mean(per_batch), rel=1e-6)
+
+
+def test_robust_avg_loss_is_mean(tiny_config):
+    import dataclasses as dc
+
+    from simple_multimodal_tpu.models import create_model
+    from simple_multimodal_tpu.train.trainer import RobustnessTrainer
+
+    c = dc.replace(tiny_config)
+    c.fusion_type = "early"
+    c.num_epochs = 1
+    batches = [make_batch(c, B=2, seed=s) for s in range(3)]
+    trainer = RobustnessTrainer(
+        model=create_model(c, "robust"), config=c,
+        train_loader=_ListLoader(batches), val_loader=_ListLoader(batches[:1]),
+    )
+    snapshot = TrainState(
+        step=int(trainer.state.step),
+        params=jax.device_get(trainer.state.params),
+        opt_state=jax.device_get(trainer.state.opt_state),
+        rng=np.asarray(jax.device_get(trainer.state.rng)),
+    )
+    reported = trainer.train_with_missing_modalities()
+
+    from simple_multimodal_tpu.train.steps import device_batch
+
+    state, per_batch = snapshot, []
+    for b in batches:
+        state, parts = trainer.robust_train_step(state, device_batch(b))
+        per_batch.append(float(jax.device_get(parts)["total_loss"]))
+    assert reported["avg_loss"] == pytest.approx(np.mean(per_batch), rel=1e-6)

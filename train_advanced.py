@@ -116,11 +116,16 @@ def train_few_shot_model(model_config: ModelConfig, data_config: DataConfig,
                                         n_way=model_config.num_emotions)
         few_shot_val = FewShotDataset(val_dataset, n_shot=n_shot_eff,
                                       n_way=model_config.num_emotions)
+        # Shuffled loaders so every episode draws a fresh support ordering
+        # and a DIFFERENT random query batch, matching the reference's
+        # episodic protocol (advanced_trainer.py:533-534 over shuffled torch
+        # loaders); the trainer re-sorts support by label for prototypes.
         support_loader = create_dataloader(
-            few_shot_train, batch_size=len(few_shot_train), shuffle=False)
+            few_shot_train, batch_size=len(few_shot_train), shuffle=True,
+            seed=seed)
         query_loader = create_dataloader(
             few_shot_val, batch_size=min(16, max(len(few_shot_val), 1)),
-            shuffle=False)
+            shuffle=True, seed=seed)
         model = create_model(model_config, model_type="few_shot")
         trainer = FewShotTrainer(
             model=model, config=model_config,
