@@ -93,6 +93,10 @@ class ModelConfig:
     # Datasets smaller than this stay device-resident across epochs (the
     # host→device boundary is paid once). 0 disables.
     device_data_cache_mb: int = 2048
+    # Optional path to a sentencepiece unigram model (e.g. DeBERTa-v3's
+    # spm.model). When set (or SMM_SPM_MODEL is), token ids match the
+    # reference's HF tokenizer exactly — no network or HF cache needed.
+    spm_model_path: Optional[str] = None
 
     def __post_init__(self):
         if self.emotion_labels is None:

@@ -49,7 +49,9 @@ class MultimodalDataset:
         self.augment = augment
         self.cache_decoded = cache_decoded
 
-        self.tokenizer = get_tokenizer(config.text_model_name, config.text_max_length)
+        self.tokenizer = get_tokenizer(
+            config.text_model_name, config.text_max_length,
+            spm_path=getattr(config, "spm_model_path", None))
         self.data = self._load_data()
         self.emotion_to_id = {e: i for i, e in enumerate(config.emotion_labels)}
         self.id_to_emotion = {i: e for e, i in self.emotion_to_id.items()}

@@ -86,11 +86,53 @@ class HashTokenizer:
         return {"input_ids": input_ids, "attention_mask": attention_mask}
 
 
-def get_tokenizer(model_name: str, max_length: int = 512):
-    """Return an HF tokenizer if one is available locally, else HashTokenizer.
+class SpmTokenizer:
+    """DeBERTa-v2/v3-convention tokenizer over a local sentencepiece model.
 
-    Mirrors the loading point of the reference (dataset_loaders.py:34) but
-    never touches the network.
+    Wraps data.spm.SentencePieceUnigram with the id conventions HF's
+    DebertaV2Tokenizer applies on top of raw sentencepiece ids:
+    [PAD]=0 [CLS]=1 [SEP]=2 [UNK]=3, piece ids used directly. With the real
+    DeBERTa ``spm.model`` file this produces the exact ids the reference
+    feeds its text encoder (dataset_loaders.py:82-93) — no network needed.
+    """
+
+    def __init__(self, spm_path: str, model_max_length: int = 512):
+        from .spm import SentencePieceUnigram
+
+        self.sp = SentencePieceUnigram.from_file(spm_path)
+        self.vocab_size = max(self.sp.vocab_size, 4)
+        self.model_max_length = model_max_length
+        self.pad_token_id = PAD_ID
+        self.cls_token_id = CLS_ID
+        self.sep_token_id = SEP_ID
+        self.unk_token_id = UNK_ID
+
+    def encode(self, text: str) -> List[int]:
+        return self.sp.encode(text)
+
+    __call__ = HashTokenizer.__call__  # same batching/padding/CLS-SEP framing
+
+
+def _find_spm_model(spm_path: Optional[str]) -> Optional[str]:
+    import os
+
+    candidates = [spm_path, os.environ.get("SMM_SPM_MODEL")]
+    for c in candidates:
+        if c and os.path.isfile(c):
+            return c
+    return None
+
+
+def get_tokenizer(model_name: str, max_length: int = 512,
+                  spm_path: Optional[str] = None):
+    """Return the best locally-available tokenizer.
+
+    Resolution order (never touches the network):
+    1. HF tokenizer for ``model_name`` if locally cached — exact reference ids.
+    2. A sentencepiece unigram model file (``spm_path`` argument or the
+       ``SMM_SPM_MODEL`` env var) read by the self-contained spm reader —
+       exact reference ids when given the real DeBERTa spm.model.
+    3. HashTokenizer — deterministic offline fallback.
     """
     try:  # pragma: no cover - exercised only when a local HF cache exists
         import os
@@ -121,4 +163,11 @@ def get_tokenizer(model_name: str, max_length: int = 512):
 
         return _HFWrapper()
     except Exception:
-        return HashTokenizer(model_max_length=max_length)
+        pass
+    found = _find_spm_model(spm_path)
+    if found:
+        try:
+            return SpmTokenizer(found, model_max_length=max_length)
+        except Exception as e:
+            print(f"Warning: could not read spm model {found}: {e}")
+    return HashTokenizer(model_max_length=max_length)

@@ -198,3 +198,40 @@ def convert_multimodal_model(sd: Dict, config) -> Dict:
     if fusion_type != "late":
         out["classifier"] = convert_classifier(_sub(sd, "classifier."))
     return out
+
+
+def convert_robust_model(sd: Dict, config) -> Dict:
+    """Reference RobustMultimodalModel state_dict → our params subtree
+    (reference: multimodal_model.py:365-450: base model + per-modality backup
+    classifiers + sigmoid availability predictor)."""
+    return {
+        "base_model": convert_multimodal_model(_sub(sd, "base_model."), config),
+        "text_only_classifier": _dense(sd, "text_only_classifier"),
+        "audio_only_classifier": _dense(sd, "audio_only_classifier"),
+        "video_only_classifier": _dense(sd, "video_only_classifier"),
+        "modality_predictor_0": _dense(sd, "modality_predictor.0"),
+        "modality_predictor_2": _dense(sd, "modality_predictor.2"),
+    }
+
+
+def convert_distillation_model(sd: Dict, teacher_config, student_config) -> Dict:
+    """Reference KnowledgeDistillationModel state_dict → our params subtree
+    (reference: multimodal_model.py:222-262; attribute names teacher/student)."""
+    return {
+        "teacher": convert_multimodal_model(_sub(sd, "teacher."), teacher_config),
+        "student": convert_multimodal_model(_sub(sd, "student."), student_config),
+    }
+
+
+def convert_fewshot_model(sd: Dict, config) -> Dict:
+    """Reference FewShotModel state_dict → our params subtree.
+
+    The reference's support/query LSTMs are constructed but never called
+    (multimodal_model.py:275-288, its quirk #4), so their weights are
+    intentionally dropped here — they cannot affect any output.
+    """
+    return {
+        "base_model": convert_multimodal_model(_sub(sd, "base_model."), config),
+        "prototype_network_0": _dense(sd, "prototype_network.0"),
+        "prototype_network_2": _dense(sd, "prototype_network.2"),
+    }

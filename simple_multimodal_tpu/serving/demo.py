@@ -216,8 +216,9 @@ class MultimodalEmotionDemo:
         if not config_path and payload.get("meta", {}).get("config"):
             self.config = config_from_dict(ModelConfig, payload["meta"]["config"])
         self.model = MultimodalEmotionModel(self.config)
-        self.tokenizer = get_tokenizer(self.config.text_model_name,
-                                       self.config.text_max_length)
+        self.tokenizer = get_tokenizer(
+            self.config.text_model_name, self.config.text_max_length,
+            spm_path=getattr(self.config, "spm_model_path", None))
         self.emotion_colors = dict(EMOTION_COLORS)
         self.conversation_history: List[Dict] = []
         self.response_generator = EmotionAwareResponseGenerator()

@@ -257,3 +257,50 @@ def test_contrastive_grad_finite_with_dropped_modality(cfg):
         bool(jnp.all(jnp.isfinite(g)))
         for g in jax.tree_util.tree_leaves(grads)
     )
+
+
+def test_gat_golden_numerics():
+    """DenseGATLayer vs an independent, loop-based evaluation of
+    torch_geometric GATConv message-passing semantics (docs formula:
+    for target i, alpha_ij = softmax_j LeakyReLU(att_src·Wx_j + att_dst·Wx_i)
+    over incoming sources j incl. the default self-loop; concat=False
+    averages heads, bias added after the average). PyG itself is not
+    installable here; this hand-rolled evaluation is the golden reference."""
+    import numpy as np
+
+    from simple_multimodal_tpu.models.fusion import DenseGATLayer
+
+    B, N, F_in, H, C = 2, 3, 5, 2, 4
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal((B, N, F_in)).astype(np.float32)
+    W = rng.standard_normal((F_in, H * C)).astype(np.float32) * 0.5
+    att_src = rng.standard_normal((1, H, C)).astype(np.float32)
+    att_dst = rng.standard_normal((1, H, C)).astype(np.float32)
+    bias = rng.standard_normal((C,)).astype(np.float32)
+
+    def leaky(v, slope=0.2):
+        return np.where(v > 0, v, slope * v)
+
+    # independent per-edge evaluation (explicit loops, no einsum sharing)
+    expected = np.zeros((B, N, C), np.float32)
+    for b in range(B):
+        xp = (x[b] @ W).reshape(N, H, C)  # [N, H, C]
+        for i in range(N):  # target
+            per_head = np.zeros((H, C), np.float32)
+            for h in range(H):
+                scores = np.array([
+                    leaky(float(att_src[0, h] @ xp[j, h])
+                          + float(att_dst[0, h] @ xp[i, h]))
+                    for j in range(N)  # sources: full graph + self-loop
+                ])
+                alpha = np.exp(scores - scores.max())
+                alpha = alpha / alpha.sum()
+                per_head[h] = sum(alpha[j] * xp[j, h] for j in range(N))
+            expected[b, i] = per_head.mean(0) + bias
+
+    layer = DenseGATLayer(out_features=C, heads=H, dropout=0.0)
+    params = {"params": {"lin": {"kernel": W},
+                         "att_src": att_src, "att_dst": att_dst,
+                         "bias": bias}}
+    got = np.asarray(layer.apply(params, x, deterministic=True))
+    np.testing.assert_allclose(got, expected, atol=1e-5, rtol=1e-5)
