@@ -9,6 +9,7 @@ checkpointed, so resume restores training exactly — the reference could only
 restore weights. Schedules are stateless functions of ``step`` in optax, so
 no separate scheduler state exists.
 """
+import hashlib
 import json
 import os
 from typing import Any, Dict, Optional
@@ -22,6 +23,21 @@ from ..config import config_to_dict
 
 def _abs(path: str) -> str:
     return os.path.abspath(path)
+
+
+def tree_fingerprint(tree) -> str:
+    """Stable hash of a pytree's structure + leaf shapes/dtypes.
+
+    Written into checkpoint meta so resume can detect an optimizer-chain
+    change (different treedef => silently mispaired leaves) and fail loudly
+    instead of corrupting the run.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    desc = str(treedef) + "|" + ";".join(
+        f"{getattr(x, 'shape', ())}:{getattr(x, 'dtype', type(x).__name__)}"
+        for x in leaves
+    )
+    return hashlib.sha256(desc.encode()).hexdigest()[:16]
 
 
 def save_checkpoint(path: str, state, metrics: Optional[Dict] = None,
@@ -41,6 +57,8 @@ def save_checkpoint(path: str, state, metrics: Optional[Dict] = None,
         "epoch": epoch,
         "metrics": {k: float(v) for k, v in (metrics or {}).items()},
     }
+    if getattr(state, "opt_state", None) is not None:
+        meta["opt_state_fingerprint"] = tree_fingerprint(state.opt_state)
     if config is not None:
         meta["config"] = config_to_dict(config)
     with open(os.path.join(path, "meta.json"), "w") as f:
@@ -64,15 +82,43 @@ def restore_params(path: str) -> Any:
     return restored["params"]
 
 
-def restore_checkpoint(path: str) -> Dict[str, Any]:
-    """Restore the full payload (params, opt_state, step, rng) + metadata."""
+def restore_checkpoint(path: str, state_target=None) -> Dict[str, Any]:
+    """Restore the full payload (params, opt_state, step, rng) + metadata.
+
+    When ``state_target`` (the live TrainState) is given AND the checkpoint
+    carries an opt_state, the restore is *targeted*: Orbax rebuilds the exact
+    live pytree (namedtuple fields matched by name, never by dict-key sort
+    order), and the saved structure fingerprint is checked first so an
+    optimizer-chain change between save and resume raises a clear error
+    instead of silently mispairing Adam moments. Targeted restores also honor
+    the live leaves' shardings, which is what makes cross-topology resume
+    (save on one mesh, resume on another) work.
+    """
     path = _abs(path)
-    ckptr = ocp.PyTreeCheckpointer()
-    payload = ckptr.restore(path)
     meta_path = os.path.join(path, "meta.json")
     meta = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+
+    saved_fp = meta.get("opt_state_fingerprint")
+    if state_target is not None and saved_fp is not None:
+        live_fp = tree_fingerprint(state_target.opt_state)
+        if saved_fp != live_fp:
+            raise ValueError(
+                f"Checkpoint at {path} was saved with a different optimizer "
+                f"structure (fingerprint {saved_fp} != live {live_fp}); "
+                "resume with the same optimizer configuration it was saved "
+                "under, or restore params only."
+            )
+        template = {
+            "params": state_target.params,
+            "opt_state": state_target.opt_state,
+            "step": 0,
+            "rng": np.asarray(jax.device_get(state_target.rng)),
+        }
+        payload = ocp.StandardCheckpointer().restore(path, template)
+    else:
+        payload = ocp.PyTreeCheckpointer().restore(path)
     payload["meta"] = meta
     return payload

@@ -122,15 +122,38 @@ class AdvancedTrainer:
             # multimodal_model.py:472-485).
             from .checkpoint import restore_checkpoint
 
-            payload = restore_checkpoint(resume_from)
+            # Targeted restore against the live state: exact pytree
+            # reconstruction (fields matched by name) + fingerprint guard
+            # against optimizer-chain drift + live shardings honored, so a
+            # checkpoint saved on one mesh resumes on another.
+            payload = restore_checkpoint(resume_from, state_target=self.state)
             state = self.state
             if payload.get("params") is not None:
-                state = state.replace(params=payload["params"])
+                params = payload["params"]
+                if self.mesh.size > 1:
+                    from ..parallel.mesh import params_shardings
+
+                    params = jax.device_put(
+                        params, params_shardings(self.mesh, params))
+                state = state.replace(params=params)
             if payload.get("opt_state") is not None:
-                restored_opt = jax.tree_util.tree_unflatten(
-                    jax.tree_util.tree_structure(state.opt_state),
-                    jax.tree_util.tree_leaves(payload["opt_state"]),
-                )
+                restored_opt = payload["opt_state"]
+                if not isinstance(
+                    restored_opt, type(state.opt_state)
+                ):  # pre-fingerprint checkpoint: raw dicts, pair by leaf order
+                    restored_opt = jax.tree_util.tree_unflatten(
+                        jax.tree_util.tree_structure(state.opt_state),
+                        jax.tree_util.tree_leaves(restored_opt),
+                    )
+                if self.mesh.size > 1:
+                    # moment subtrees mirror param paths, so the same TP rules
+                    # apply; scalars (step counts) replicate. Restored arrays
+                    # are committed, so explicit placement is required to keep
+                    # every train-step input on the same device set.
+                    from ..parallel.mesh import params_shardings
+
+                    restored_opt = jax.device_put(
+                        restored_opt, params_shardings(self.mesh, restored_opt))
                 state = state.replace(opt_state=restored_opt)
             if payload.get("step") is not None:
                 state = state.replace(step=int(payload["step"]))

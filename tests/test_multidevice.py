@@ -107,6 +107,56 @@ def test_tp_matches_replicated(setup):
                                np.asarray(out["logits"]), atol=1e-4)
 
 
+def test_resume_across_topologies(tiny_config, tmp_path_factory):
+    """Checkpoint saved on a (1,1) mesh resumes on an (8,1) mesh (SURVEY §7:
+    checkpoint save/restore across topologies)."""
+    import dataclasses
+    import os
+
+    from simple_multimodal_tpu.data import (
+        create_dataloader,
+        create_sample_dataset,
+        get_dataset,
+    )
+    from simple_multimodal_tpu.models import create_model
+    from simple_multimodal_tpu.train.trainer import AdvancedTrainer
+
+    d = tmp_path_factory.mktemp("topo_data")
+    create_sample_dataset(str(d), num_samples_per_emotion=2, duration=0.3)
+    c = dataclasses.replace(tiny_config)
+    c.fusion_type = "early"
+    c.num_epochs = 1
+    c.batch_size = 8
+    c.save_path = str(tmp_path_factory.mktemp("topo_ckpt"))
+    loaders = {
+        split: create_dataloader(
+            get_dataset("sample", str(d), split, c), batch_size=8,
+            shuffle=(split == "train"))
+        for split in ("train", "val")
+    }
+
+    c1 = dataclasses.replace(c)
+    c1.mesh_shape = (1, 1)
+    t1 = AdvancedTrainer(model=create_model(c, "standard"), config=c1,
+                         train_loader=loaders["train"],
+                         val_loader=loaders["val"])
+    t1.train_epoch()
+    ckpt = os.path.join(c.save_path, "checkpoint_epoch_1")
+    t1.save_checkpoint("checkpoint_epoch_1", 0, {"val_f1_macro": 0.1})
+    step_at_save = int(t1.state.step)
+    assert step_at_save > 0
+
+    c8 = dataclasses.replace(c)
+    c8.mesh_shape = (8, 1)
+    t2 = AdvancedTrainer(model=create_model(c, "standard"), config=c8,
+                         train_loader=loaders["train"],
+                         val_loader=loaders["val"], resume_from=ckpt)
+    assert int(t2.state.step) == step_at_save
+    assert t2.start_epoch == 1
+    metrics = t2.train_epoch()  # one epoch on the 8-way mesh from restored state
+    assert np.isfinite(metrics["total_loss"])
+
+
 def test_trainer_dp_mesh(tiny_config, tmp_path_factory):
     """AdvancedTrainer end-to-end on an 8-way data-parallel mesh."""
     import dataclasses

@@ -120,6 +120,44 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     assert "opt_state" in full
 
 
+def test_targeted_resume_restores_exact_structure(setup, tmp_path):
+    c, model, batch, params = setup
+    tx = make_optimizer(c, params, total_steps=10)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(2))
+    step = make_train_step(model, tx, c, augment=False,
+                           compute_contrastive_loss=False)
+    state, _ = step(state, {k: batch[k] for k in
+                            ("text", "audio", "video", "emotion")})
+    path = str(tmp_path / "ckpt" / "resume")
+    save_checkpoint(path, state, epoch=0, config=c)
+
+    live = TrainState.create(jax.device_get(state.params), tx,
+                             jax.random.PRNGKey(9))
+    payload = restore_checkpoint(path, state_target=live)
+    # exact pytree back (namedtuple types preserved, not sorted dicts)
+    assert (jax.tree_util.tree_structure(payload["opt_state"])
+            == jax.tree_util.tree_structure(live.opt_state))
+    assert int(payload["step"]) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(payload["opt_state"]),
+                    jax.tree_util.tree_leaves(jax.device_get(state.opt_state))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_resume_rejects_optimizer_change(setup, tmp_path):
+    import optax
+
+    c, model, batch, params = setup
+    tx = make_optimizer(c, params, total_steps=10)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(2))
+    path = str(tmp_path / "ckpt" / "guard")
+    save_checkpoint(path, state, epoch=0, config=c)
+
+    other = TrainState.create(jax.device_get(state.params), optax.sgd(1e-3),
+                              jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="different optimizer"):
+        restore_checkpoint(path, state_target=other)
+
+
 def test_missing_modality_rate_step(setup):
     c, model, batch, params = setup
     tx = make_optimizer(c, params, total_steps=10)
