@@ -59,14 +59,10 @@ class DebertaConfig:
                              intermediate_size=1536)
 
 
-def log_bucket_positions(seq_len: int, bucket_size: int, max_position: int) -> np.ndarray:
-    """Bucketed relative positions [seq, seq], computed host-side as a constant.
-
-    Mirrors DeBERTa's log-bucket scheme: positions within ±bucket_size/2 are
-    exact; farther ones are log-spaced into the remaining buckets.
-    """
-    q = np.arange(seq_len)
-    rel = q[:, None] - q[None, :]
+def log_bucket(rel: np.ndarray, bucket_size: int, max_position: int) -> np.ndarray:
+    """DeBERTa's log-bucket map, elementwise over an array of relative
+    positions: positions within ±bucket_size/2 are exact; farther ones are
+    log-spaced into the remaining buckets. Antisymmetric: b(-x) = -b(x)."""
     mid = bucket_size // 2
     sign = np.sign(rel)
     abs_pos = np.where((rel < mid) & (rel > -mid), mid - 1, np.abs(rel))
@@ -77,6 +73,26 @@ def log_bucket_positions(seq_len: int, bucket_size: int, max_position: int) -> n
         )
     bucket = np.where(abs_pos <= mid, rel.astype(np.float64), log_pos * sign)
     return bucket.astype(np.int32)
+
+
+def log_bucket_positions(seq_len: int, bucket_size: int, max_position: int) -> np.ndarray:
+    """Bucketed relative positions [seq, seq], computed host-side as a constant."""
+    q = np.arange(seq_len)
+    return log_bucket(q[:, None] - q[None, :], bucket_size, max_position)
+
+
+def _rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """out[..., i, j] = x[..., i, j - i + S - 1] for x of shape [..., S, 2S-1].
+
+    The Transformer-XL "skew" trick: converting relative-offset scores
+    [S, 2S-1] into the [S, S] bias matrix is a pad + reshape + slice —
+    pure layout ops, no gather and no extra FLOPs.
+    """
+    *lead, S, L = x.shape
+    x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, 0), (0, 1)])
+    x = x.reshape(*lead, S * (L + 1))
+    x = jax.lax.slice_in_dim(x, S - 1, S - 1 + S * L, axis=-1)
+    return x.reshape(*lead, S, L)[..., :S]
 
 
 class DisentangledSelfAttention(nn.Module):
@@ -108,30 +124,37 @@ class DisentangledSelfAttention(nn.Module):
         )
 
         # --- disentangled bias (share_att_key=True: reuse q/k projections) ---
-        # The (q,k)→bucket selection is a static pattern; the bias "gather"
-        # runs as one-hot einsums on the MXU instead of take_along_axis
-        # (TPU gathers over a [B,H,S,S] tensor were ~50x slower than the
-        # whole rest of the encoder).
-        c2p_sel, p2c_sel = rel_select  # [S, S, 2*span] one-hots
+        # Computed Transformer-XL style: both bias terms reduce to the SAME
+        # relative index map cm[q-k] = clip(bucket(q-k) + span) (the bucket
+        # map is antisymmetric, so the reference's c2p and p2c index tables
+        # coincide after transposition):
+        #   c2p[q,k] = q[q]·pos_k[cm[q-k]]   p2c[q,k] = k[k]·pos_q[cm[q-k]]
+        # So: gather the (tiny) projected position tables into relative-offset
+        # layout [2S-1, H, D] once, contract against q/k over D on the MXU,
+        # and skew [S, 2S-1] → [S, S] with _rel_shift (pure layout ops).
+        # This replaces the reference's take_along_axis over [B,H,S,S]
+        # (catastrophic TPU gather) at a D-sized contraction — ~16x fewer
+        # FLOPs than realizing the gather as a [S,S,2*span] one-hot einsum.
+        sel_c2p, sel_p2c = rel_select  # [2S-1, 2*span] one-hot constants
         rel_embeddings = nn.Dropout(cfg.hidden_dropout)(
             rel_embeddings, deterministic=deterministic
         )
         pos_q = q_proj(rel_embeddings).reshape(2 * span, H, D)
         pos_k = k_proj(rel_embeddings).reshape(2 * span, H, D)
+        pos_k_rel = jnp.einsum("rp,phd->rhd", sel_c2p, pos_k,
+                               preferred_element_type=jnp.float32).astype(self.dtype)
+        pos_q_rel = jnp.einsum("rp,phd->rhd", sel_p2c, pos_q,
+                               preferred_element_type=jnp.float32).astype(self.dtype)
 
-        # c2p: bias[q,k] = q[q]·pos_k[bucket(q−k)]
-        c2p = jnp.einsum("bhqd,phd->bhqp", q, pos_k,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
-        c2p = jnp.einsum("bhqp,qkp->bhqk", c2p, c2p_sel,
-                         preferred_element_type=jnp.float32)
-        scores = scores + c2p / scale
-
-        # p2c: bias[q,k] = k[k]·pos_q[bucket(−(k−q))]
-        p2c = jnp.einsum("bhkd,phd->bhkp", k, pos_q,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
-        p2c = jnp.einsum("bhkp,kqp->bhqk", p2c, p2c_sel,
-                         preferred_element_type=jnp.float32)
-        scores = scores + p2c / scale
+        # c2p: qrel[q, r] = q[q]·pos_k_rel[r], bias[q,k] = qrel[q, k-q+S-1]
+        qrel = jnp.einsum("bhqd,rhd->bhqr", q, pos_k_rel,
+                          preferred_element_type=jnp.float32)
+        c2p = _rel_shift(qrel)
+        # p2c: krel[k, r] = k[k]·pos_q_rel[r], bias[q,k] = krel[k, q-k+S-1]
+        krel = jnp.einsum("bhkd,rhd->bhkr", k, pos_q_rel,
+                          preferred_element_type=jnp.float32)
+        p2c = jnp.swapaxes(_rel_shift(krel), -1, -2)
+        scores = scores + (c2p + p2c) / scale
 
         scores = scores + attention_bias  # additive −inf on masked keys
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
@@ -215,14 +238,18 @@ class DebertaModel(nn.Module):
         attention_bias = jnp.where(pair, 0.0, jnp.finfo(jnp.float32).min)
 
         span = cfg.position_buckets
-        rel_pos = log_bucket_positions(S, span, cfg.max_position_embeddings)
-        # Static one-hot bucket selections, computed once and shared by every
-        # layer (the bias gathers run as MXU einsums against these).
-        c2p_idx = np.clip(rel_pos + span, 0, 2 * span - 1)
-        p2c_idx = np.clip(-rel_pos + span, 0, 2 * span - 1)
-        c2p_sel = jax.nn.one_hot(c2p_idx, 2 * span, dtype=self.dtype)
-        p2c_sel = jax.nn.one_hot(p2c_idx, 2 * span, dtype=self.dtype)
-        rel_select = (c2p_sel, p2c_sel)
+        # Static bucket-selection constants in relative-offset layout,
+        # computed host-side once and shared by every layer. cm[rel] is the
+        # bucket index for relative position rel = q-k (clip is a no-op for
+        # in-range buckets but kept for parity with the reference's clamp).
+        rel = np.arange(-(S - 1), S)  # rel for offset r is r - (S-1)
+        cm = np.clip(log_bucket(rel, span, cfg.max_position_embeddings) + span,
+                     0, 2 * span - 1)
+        # sel_c2p is reversed so that after _rel_shift the c2p bias lands at
+        # cm[q-k]; sel_p2c is forward (its shift output is transposed).
+        sel_c2p = jax.nn.one_hot(cm[::-1].copy(), 2 * span, dtype=self.dtype)
+        sel_p2c = jax.nn.one_hot(cm, 2 * span, dtype=self.dtype)
+        rel_select = (sel_c2p, sel_p2c)
 
         rel_emb_table = self.param(
             "rel_embeddings", nn.initializers.normal(0.02),
