@@ -52,6 +52,59 @@ def measure_preprocessing(cfg, n_clips: int = 4):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def measure_e2e_pipelined(cfg, forward, params, batch_size, sync,
+                          n_per_emotion=3, duration=10.0):
+    """MEASURED end-to-end clips/s: drive real decoded batches through
+    ``prefetch_to_device`` into the jitted forward and time the pipelined
+    loop (host decode + H2D transfer overlap device compute). Returns rates
+    for cold decode (no sidecar cache, the reference's every-epoch behavior)
+    and warm cache."""
+    import shutil
+    import tempfile
+
+    import jax
+
+    from simple_multimodal_tpu.data import (
+        create_dataloader,
+        create_sample_dataset,
+        get_dataset,
+    )
+    from simple_multimodal_tpu.data.pipeline import prefetch_to_device
+
+    tmp = tempfile.mkdtemp(prefix="smm_bench_e2e_")
+    rates = {}
+    try:
+        create_sample_dataset(tmp, num_samples_per_emotion=n_per_emotion,
+                              duration=duration)
+        # prime sidecars for the warm pass (also JIT-warms this batch shape)
+        ds = get_dataset("sample", tmp, "train", cfg)
+        for i in range(len(ds)):
+            ds[i]
+        for mode, cache in (("warm", True), ("cold", False)):
+            # cache_decoded=False bypasses the sidecars entirely: every
+            # __getitem__ decodes from media, the reference's per-epoch cost
+            ds = get_dataset("sample", tmp, "train", cfg)
+            ds.cache_decoded = cache
+            loader = create_dataloader(ds, batch_size=batch_size,
+                                       shuffle=False)
+            # one warmup batch so compile time stays out of the timing
+            first = next(iter(loader))
+            sync(forward(params, first["text"], first["audio"],
+                         first["video"]))
+            t0 = time.time()
+            clips = 0
+            out = None
+            for batch in prefetch_to_device(loader, size=2):
+                out = forward(params, batch["text"], batch["audio"],
+                              batch["video"])
+                clips += int(np.asarray(batch["emotion"]).shape[0])
+            sync(out)  # drain the async pipeline before stopping the clock
+            rates[mode] = clips / (time.time() - t0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return rates
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default=os.environ.get("SMM_BENCH_PRESET", "base"))
@@ -128,27 +181,29 @@ def main():
     sync(out)
     compile_s = time.time() - t0
 
-    # vary inputs across iters so nothing is memoized; block every iter
+    # vary inputs across iters so nothing is memoized. Throughput loops
+    # PIPELINE: enqueue all iterations, device_get once at the end — a
+    # per-iteration device_get adds a full host<->device round trip (~28 ms
+    # on the tunneled chip) to every batch, which measures the link, not
+    # the model. Latency (below) still syncs per call.
     audios = [batch["audio"] + i * 1e-3 for i in range(args.iters)]
 
     def timed_loop():
-        times = []
+        t0 = time.time()
+        out = None
         for i in range(args.iters):
-            t0 = time.time()
             out = forward(params, batch["text"], audios[i], batch["video"])
-            sync(out)
-            times.append(time.time() - t0)
-        return times
+        sync(out)
+        return (time.time() - t0) / args.iters
 
     if args.profile:
         from simple_multimodal_tpu.utils.profiling import trace
 
         with trace(args.profile):
-            times = timed_loop()
+            med = timed_loop()
         print(f"trace written to {args.profile}", file=sys.stderr)
     else:
-        times = timed_loop()
-    med = float(np.median(times))
+        med = timed_loop()
 
     # compute-only throughput: inputs already device-resident (the steady
     # state under DeviceCachedLoader, or hosts with real PCIe bandwidth)
@@ -156,14 +211,13 @@ def main():
     jax.block_until_ready(dev_batch)
     sync(forward(params, dev_batch["text"], dev_batch["audio"],
                  dev_batch["video"]))
-    dev_times = []
+    t0 = time.time()
+    out = None
     for _ in range(args.iters):
-        t0 = time.time()
         out = forward(params, dev_batch["text"], dev_batch["audio"],
                       dev_batch["video"])
-        sync(out)
-        dev_times.append(time.time() - t0)
-    dev_med = float(np.median(dev_times))
+    sync(out)
+    dev_med = (time.time() - t0) / args.iters
     fwd_clips_per_sec = B / med
 
     # single-clip latency (p50)
@@ -239,15 +293,18 @@ def main():
     else:
         pre = None
 
-    # End-to-end rate with the prefetch-overlapped pipeline: host decode and
-    # device forward run concurrently → throughput = min of the two stages.
-    if pre:
-        host_rate_warm = 1.0 / max(pre["warm"], 1e-9)
-        e2e_clips_per_sec = min(host_rate_warm, fwd_clips_per_sec)
-        detail["e2e_clips_per_sec_warm_cache"] = e2e_clips_per_sec
-        host_rate_cold = 1.0 / max(pre["cold"], 1e-9)
-        detail["e2e_clips_per_sec_cold_decode"] = min(host_rate_cold,
-                                                      fwd_clips_per_sec)
+    # End-to-end rate MEASURED through the real pipeline: decoded batches
+    # stream through prefetch_to_device into the jitted forward, host work
+    # overlapping device compute.
+    if not args.skip_preprocessing:
+        try:
+            e2e = measure_e2e_pipelined(cfg, forward, params, B, sync)
+            detail["e2e_clips_per_sec_warm_cache"] = e2e["warm"]
+            detail["e2e_clips_per_sec_cold_decode"] = e2e["cold"]
+            e2e_clips_per_sec = e2e["warm"]
+        except Exception as e:
+            detail["e2e_error"] = str(e)
+            e2e_clips_per_sec = fwd_clips_per_sec
     else:
         e2e_clips_per_sec = fwd_clips_per_sec
 

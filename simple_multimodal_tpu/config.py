@@ -90,6 +90,11 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # Gradient-checkpoint (remat) the encoder transformer stacks.
     remat_encoders: bool = True
+    # Route encoder attention through the Pallas flash kernel (fwd + custom
+    # VJP). "auto" enables it on a single-chip TPU; True/False force it.
+    # Attention-dropout layers (DeBERTa/wav2vec2) keep the XLA path while
+    # dropout is active so training stochasticity matches the reference.
+    flash_attention: object = "auto"
     # Datasets smaller than this stay device-resident across epochs (the
     # host→device boundary is paid once). 0 disables.
     device_data_cache_mb: int = 2048

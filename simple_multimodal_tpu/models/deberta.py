@@ -33,6 +33,7 @@ class DebertaConfig:
     intermediate_size: int = 3072
     max_position_embeddings: int = 512
     position_buckets: int = 256
+    use_flash: bool = False  # Pallas flash kernel for the softmax(·)V stage
     layer_norm_eps: float = 1e-7
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
@@ -81,18 +82,6 @@ def log_bucket_positions(seq_len: int, bucket_size: int, max_position: int) -> n
     return log_bucket(q[:, None] - q[None, :], bucket_size, max_position)
 
 
-def _rel_shift(x: jnp.ndarray) -> jnp.ndarray:
-    """out[..., i, j] = x[..., i, j - i + S - 1] for x of shape [..., S, 2S-1].
-
-    The Transformer-XL "skew" trick: converting relative-offset scores
-    [S, 2S-1] into the [S, S] bias matrix is a pad + reshape + slice —
-    pure layout ops, no gather and no extra FLOPs.
-    """
-    *lead, S, L = x.shape
-    x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, 0), (0, 1)])
-    x = x.reshape(*lead, S * (L + 1))
-    x = jax.lax.slice_in_dim(x, S - 1, S - 1 + S * L, axis=-1)
-    return x.reshape(*lead, S, L)[..., :S]
 
 
 class DisentangledSelfAttention(nn.Module):
@@ -112,56 +101,66 @@ class DisentangledSelfAttention(nn.Module):
         k_proj = nn.Dense(E, dtype=self.dtype, name="key_proj")
         v_proj = nn.Dense(E, dtype=self.dtype, name="value_proj")
 
-        q = q_proj(hidden).reshape(B, S, H, D).transpose(0, 2, 1, 3)
-        k = k_proj(hidden).reshape(B, S, H, D).transpose(0, 2, 1, 3)
-        v = v_proj(hidden).reshape(B, S, H, D).transpose(0, 2, 1, 3)
+        q = q_proj(hidden).reshape(B, S, H, D)
+        k = k_proj(hidden).reshape(B, S, H, D)
+        v = v_proj(hidden).reshape(B, S, H, D)
 
         scale_factor = 3  # 1 + c2p + p2c
         scale = jnp.sqrt(jnp.array(D, jnp.float32) * scale_factor)
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k / scale.astype(self.dtype),
-            preferred_element_type=jnp.float32,
-        )
 
         # --- disentangled bias (share_att_key=True: reuse q/k projections) ---
-        # Computed Transformer-XL style: both bias terms reduce to the SAME
-        # relative index map cm[q-k] = clip(bucket(q-k) + span) (the bucket
-        # map is antisymmetric, so the reference's c2p and p2c index tables
-        # coincide after transposition):
-        #   c2p[q,k] = q[q]·pos_k[cm[q-k]]   p2c[q,k] = k[k]·pos_q[cm[q-k]]
-        # So: gather the (tiny) projected position tables into relative-offset
-        # layout [2S-1, H, D] once, contract against q/k over D on the MXU,
-        # and skew [S, 2S-1] → [S, S] with _rel_shift (pure layout ops).
-        # This replaces the reference's take_along_axis over [B,H,S,S]
-        # (catastrophic TPU gather) at a D-sized contraction — ~16x fewer
-        # FLOPs than realizing the gather as a [S,S,2*span] one-hot einsum.
-        sel_c2p, sel_p2c = rel_select  # [2S-1, 2*span] one-hot constants
+        # The (q,k)→bucket selection is a static pattern; the bias "gather"
+        # runs as one-hot einsums on the MXU instead of take_along_axis
+        # (measured on-chip: the [B,H,S,S] minor-axis gather is ~150x slower
+        # than the whole encoder). A Transformer-XL rel-shift variant (fewer
+        # FLOPs, more layout copies) was measured 4-6x SLOWER per layer here:
+        # at S=512=2*span the one-hot contraction rides the MXU at >100 TF/s
+        # while skew pad/reshape/slice copies are HBM-bandwidth-bound —
+        # FLOPs are cheap, bytes are not. (For S >> buckets the rel-shift
+        # trade flips; revisit if long-context text lands.)
+        c2p_sel, p2c_sel = rel_select  # [S, S, 2*span] one-hots
         rel_embeddings = nn.Dropout(cfg.hidden_dropout)(
             rel_embeddings, deterministic=deterministic
         )
         pos_q = q_proj(rel_embeddings).reshape(2 * span, H, D)
         pos_k = k_proj(rel_embeddings).reshape(2 * span, H, D)
-        pos_k_rel = jnp.einsum("rp,phd->rhd", sel_c2p, pos_k,
-                               preferred_element_type=jnp.float32).astype(self.dtype)
-        pos_q_rel = jnp.einsum("rp,phd->rhd", sel_p2c, pos_q,
-                               preferred_element_type=jnp.float32).astype(self.dtype)
 
-        # c2p: qrel[q, r] = q[q]·pos_k_rel[r], bias[q,k] = qrel[q, k-q+S-1]
-        qrel = jnp.einsum("bhqd,rhd->bhqr", q, pos_k_rel,
-                          preferred_element_type=jnp.float32)
-        c2p = _rel_shift(qrel)
-        # p2c: krel[k, r] = k[k]·pos_q_rel[r], bias[q,k] = krel[k, q-k+S-1]
-        krel = jnp.einsum("bhkd,rhd->bhkr", k, pos_q_rel,
-                          preferred_element_type=jnp.float32)
-        p2c = jnp.swapaxes(_rel_shift(krel), -1, -2)
-        scores = scores + (c2p + p2c) / scale
+        # c2p: bias[q,k] = q[q]·pos_k[bucket(q−k)]
+        c2p = jnp.einsum("bqhd,phd->bhqp", q, pos_k,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        c2p = jnp.einsum("bhqp,qkp->bhqk", c2p, c2p_sel,
+                         preferred_element_type=jnp.float32)
+        # p2c: bias[q,k] = k[k]·pos_q[bucket(−(k−q))]
+        p2c = jnp.einsum("bkhd,phd->bhkp", k, pos_q,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        p2c = jnp.einsum("bhkp,kqp->bhqk", p2c, p2c_sel,
+                         preferred_element_type=jnp.float32)
+        rel_bias = (c2p + p2c) / scale + attention_bias  # + −inf masked keys
 
-        scores = scores + attention_bias  # additive −inf on masked keys
+        # v5e-measured: with the disentangled bias already materialized in
+        # HBM, flash is only at parity at S=512 — XLA keeps the default;
+        # flash takes over beyond, where probs traffic grows quadratically
+        if (cfg.use_flash and S > 512
+                and (deterministic or cfg.attention_dropout == 0.0)):
+            from ..ops.pallas.flash_attention import flash_attention
+
+            # flash applies 1/sqrt(D); fold the remaining 1/sqrt(3) into q so
+            # the fused logits are (q·k + c2p + p2c)/sqrt(3D) + mask.
+            sqrt_d_over_scale = (jnp.sqrt(jnp.array(D, jnp.float32))
+                                 / scale).astype(self.dtype)
+            ctx = flash_attention(q * sqrt_d_over_scale, k, v, bias=rel_bias)
+            return ctx.reshape(B, S, E)
+
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k / scale.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        scores = scores + rel_bias
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
-        return ctx.transpose(0, 2, 1, 3).reshape(B, S, E)
+        return ctx.reshape(B, S, E)
 
 
 class DebertaLayer(nn.Module):
@@ -238,18 +237,14 @@ class DebertaModel(nn.Module):
         attention_bias = jnp.where(pair, 0.0, jnp.finfo(jnp.float32).min)
 
         span = cfg.position_buckets
-        # Static bucket-selection constants in relative-offset layout,
-        # computed host-side once and shared by every layer. cm[rel] is the
-        # bucket index for relative position rel = q-k (clip is a no-op for
-        # in-range buckets but kept for parity with the reference's clamp).
-        rel = np.arange(-(S - 1), S)  # rel for offset r is r - (S-1)
-        cm = np.clip(log_bucket(rel, span, cfg.max_position_embeddings) + span,
-                     0, 2 * span - 1)
-        # sel_c2p is reversed so that after _rel_shift the c2p bias lands at
-        # cm[q-k]; sel_p2c is forward (its shift output is transposed).
-        sel_c2p = jax.nn.one_hot(cm[::-1].copy(), 2 * span, dtype=self.dtype)
-        sel_p2c = jax.nn.one_hot(cm, 2 * span, dtype=self.dtype)
-        rel_select = (sel_c2p, sel_p2c)
+        rel_pos = log_bucket_positions(S, span, cfg.max_position_embeddings)
+        # Static one-hot bucket selections, computed once and shared by every
+        # layer (the bias gathers run as MXU einsums against these).
+        c2p_idx = np.clip(rel_pos + span, 0, 2 * span - 1)
+        p2c_idx = np.clip(-rel_pos + span, 0, 2 * span - 1)
+        c2p_sel = jax.nn.one_hot(c2p_idx, 2 * span, dtype=self.dtype)
+        p2c_sel = jax.nn.one_hot(p2c_idx, 2 * span, dtype=self.dtype)
+        rel_select = (c2p_sel, p2c_sel)
 
         rel_emb_table = self.param(
             "rel_embeddings", nn.initializers.normal(0.02),

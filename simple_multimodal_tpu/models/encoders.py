@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.adapters import AdapterLayer
-from ..ops.attention import MultiHeadAttention
+from ..ops.attention import MultiHeadAttention, use_flash_attention
 from ..ops.lstm import LSTM
 from .deberta import DebertaConfig, DebertaModel
 from .vit import ViTConfig, ViTModel
@@ -50,6 +50,10 @@ def resolve_backbone_configs(config):
         vit = dataclasses.replace(
             ViTConfig.base(), image_size=config.video_frame_size[0]
         )
+    flash = use_flash_attention(config)
+    text = dataclasses.replace(text, use_flash=flash)
+    audio = dataclasses.replace(audio, use_flash=flash)
+    vit = dataclasses.replace(vit, use_flash=flash)
     return text, audio, vit
 
 
@@ -143,7 +147,7 @@ class AudioEncoder(nn.Module):
 
         attended, attn_weights = MultiHeadAttention(
             audio_cfg.hidden_size, 8, cfg.fusion_dropout, dtype=self.dtype,
-            name="temporal_attention",
+            use_flash=audio_cfg.use_flash, name="temporal_attention",
         )(sequence_output, sequence_output, sequence_output,
           deterministic=deterministic)
 
@@ -195,7 +199,7 @@ class VideoEncoder(nn.Module):
 
         attended, attn_weights = MultiHeadAttention(
             vit_cfg.hidden_size, 8, cfg.fusion_dropout, dtype=self.dtype,
-            name="facial_attention",
+            use_flash=vit_cfg.use_flash, name="facial_attention",
         )(lstm_out, lstm_out, lstm_out, deterministic=deterministic)
 
         pooled = attended.mean(axis=1)

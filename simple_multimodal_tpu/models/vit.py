@@ -30,6 +30,7 @@ class ViTConfig:
     layer_norm_eps: float = 1e-12
     hidden_dropout: float = 0.0
     attention_dropout: float = 0.0
+    use_flash: bool = False  # Pallas flash kernel for self-attention
 
     @staticmethod
     def base() -> "ViTConfig":
@@ -67,12 +68,26 @@ class ViTLayer(nn.Module):
         q = nn.Dense(E, dtype=self.dtype, name="query")(x).reshape(B, S, H, D)
         k = nn.Dense(E, dtype=self.dtype, name="key")(x).reshape(B, S, H, D)
         v = nn.Dense(E, dtype=self.dtype, name="value")(x).reshape(B, S, H, D)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) * (D ** -0.5)
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
+        # v5e-measured: flash wins ISOLATED at S=197 (6.6 vs 7.0 ms) but
+        # loses in-context (full model 42.8 vs 50.4 clips/s) — XLA fuses the
+        # einsum path with surrounding projections and the custom call's
+        # layout constraints cost transposes. XLA keeps the bench shapes;
+        # flash takes over where probs traffic grows quadratic (S > 512).
+        if (cfg.use_flash and S > 512
+                and (deterministic or cfg.attention_dropout == 0.0)):
+            from ..ops.pallas.flash_attention import flash_attention
+
+            # fused streaming-softmax attention: no [B*T, H, S, S] probs in
+            # HBM across the 12-layer x 30-frame stack (fwd and bwd)
+            ctx = flash_attention(q, k, v)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) * (D ** -0.5)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            probs = nn.Dropout(cfg.attention_dropout)(probs,
+                                                      deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                             preferred_element_type=jnp.float32).astype(self.dtype)
         attn = nn.Dense(E, dtype=self.dtype, name="attn_output")(ctx.reshape(B, S, E))
         attn = nn.Dropout(cfg.hidden_dropout)(attn, deterministic=deterministic)
         hidden = hidden + attn

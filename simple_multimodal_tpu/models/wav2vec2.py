@@ -43,6 +43,7 @@ class Wav2Vec2Config:
     feat_proj_dropout: float = 0.1
     mask_time_prob: float = 0.05
     mask_time_length: int = 10
+    use_flash: bool = False  # Pallas flash kernel for self-attention
 
     @staticmethod
     def base() -> "Wav2Vec2Config":
@@ -148,18 +149,27 @@ class Wav2Vec2EncoderLayer(nn.Module):
         D = E // H
         B, S, _ = hidden.shape
 
-        q = nn.Dense(E, dtype=self.dtype, name="q_proj")(hidden) * (D ** -0.5)
+        q = nn.Dense(E, dtype=self.dtype, name="q_proj")(hidden)
         k = nn.Dense(E, dtype=self.dtype, name="k_proj")(hidden)
         v = nn.Dense(E, dtype=self.dtype, name="v_proj")(hidden)
         q = q.reshape(B, S, H, D)
         k = k.reshape(B, S, H, D)
         v = v.reshape(B, S, H, D)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
+        # v5e-measured: in-context XLA wins at the 499-frame audio length
+        # (see vit.py note); flash engages beyond 512
+        if (cfg.use_flash and S > 512
+                and (deterministic or cfg.attention_dropout == 0.0)):
+            from ..ops.pallas.flash_attention import flash_attention
+
+            ctx = flash_attention(q, k, v)  # applies the 1/sqrt(D) scale
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q * (D ** -0.5), k,
+                                preferred_element_type=jnp.float32)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            probs = nn.Dropout(cfg.attention_dropout)(probs,
+                                                      deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                             preferred_element_type=jnp.float32).astype(self.dtype)
         attn = nn.Dense(E, dtype=self.dtype, name="out_proj")(ctx.reshape(B, S, E))
         attn = nn.Dropout(cfg.hidden_dropout)(attn, deterministic=deterministic)
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,

@@ -12,8 +12,27 @@ Pallas flash-attention kernel (ops/pallas) which avoids materializing the
 """
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
+
+
+def use_flash_attention(config) -> bool:
+    """Resolve a ModelConfig's flash_attention flag.
+
+    "auto" → on for a single-chip TPU run (the Pallas kernel is not yet
+    wrapped for SPMD partitioning, and interpret mode on CPU is only for
+    tests); True/False force it.
+    """
+    fa = getattr(config, "flash_attention", "auto")
+    if isinstance(fa, str):
+        if fa != "auto":
+            return fa.lower() in ("1", "true", "yes", "on")
+        mesh = getattr(config, "mesh_shape", (1, 1))
+        return (jax.default_backend() == "tpu"
+                and int(np.prod(np.asarray(mesh))) == 1)
+    return bool(fa)
 
 
 class MultiHeadAttention(nn.Module):
@@ -49,15 +68,29 @@ class MultiHeadAttention(nn.Module):
 
         use_flash = (
             self.use_flash
-            and not need_weights
             and mask is None
             and (self.dropout == 0.0 or deterministic)
+            # v5e-measured: XLA's fused einsum path wins in-context at
+            # every reference sequence length (see models/vit.py note);
+            # flash engages for long sequences where the materialized
+            # [B,H,Q,K] probs traffic grows quadratic.
+            and Q > 512 and K > 512
         )
+        probs = None
         if use_flash:
             from .pallas.flash_attention import flash_attention
 
             out = flash_attention(q, k, v)  # [B, Q, H, Dh]
-            probs = None
+            if need_weights:
+                # Averaged head weights for the caller's introspection dict.
+                # When the jitted consumer only uses the attention OUTPUT
+                # (train/eval steps select logits), XLA dead-code-eliminates
+                # this whole branch, so the flash path stays fused.
+                scale = 1.0 / jnp.sqrt(jnp.array(Dh, dtype=jnp.float32))
+                logits = jnp.einsum(
+                    "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+                ) * scale
+                probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         else:
             scale = 1.0 / jnp.sqrt(jnp.array(Dh, dtype=jnp.float32))
             logits = jnp.einsum(

@@ -72,18 +72,28 @@ def param_partition_spec(path_keys, value) -> P:
     - attention output projection: shard the input dim → P('model', None)
     - MLP up projection (intermediate): shard output dim
     - MLP down projection: shard input dim
-    - embeddings / norms / biases / small heads: replicated
+    - ViT patch embedding conv: shard the output-feature dim (col-parallel)
+    - word embeddings: vocab-parallel (XLA masks the lookup and all-reduces)
+    - LSTM hoisted input matmul w_ih: shard the input dim (row-parallel, one
+      all-reduce per layer); the sequential recurrent matmul w_hh stays
+      replicated — sharding it would cost a collective per timestep
+    - norms / biases / small heads: replicated
     """
-    name = "/".join(path_keys)
+    parent = path_keys[-2] if len(path_keys) >= 2 else ""
+    leaf = path_keys[-1]
+    if leaf == "kernel" and value.ndim == 4 and parent == "patch_embed":
+        return P(None, None, None, "model")
+    if leaf == "embedding" and parent == "word_embeddings":
+        return P("model", None)
     if value.ndim != 2:
         return P()
+    if leaf.startswith("w_ih"):
+        return P("model", None)
     col_markers = ("q_proj", "k_proj", "v_proj", "query", "key", "value",
                    "query_proj", "key_proj", "value_proj",
                    "intermediate_dense", "ffn_0")
     row_markers = ("out_proj", "attn_output", "attn_out_dense",
                    "output_dense", "ffn_3")
-    parent = path_keys[-2] if len(path_keys) >= 2 else ""
-    leaf = path_keys[-1]
     if leaf == "kernel":
         if parent in col_markers:
             return P(None, "model")
