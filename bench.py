@@ -91,15 +91,26 @@ def measure_e2e_pipelined(cfg, forward, params, batch_size, sync,
             first = next(iter(loader))
             sync(forward(params, first["text"], first["audio"],
                          first["video"]))
-            t0 = time.time()
-            clips = 0
-            out = None
-            for batch in prefetch_to_device(loader, size=2):
-                out = forward(params, batch["text"], batch["audio"],
-                              batch["video"])
-                clips += int(np.asarray(batch["emotion"]).shape[0])
-            sync(out)  # drain the async pipeline before stopping the clock
-            rates[mode] = clips / (time.time() - t0)
+
+            def run(background):
+                t0 = time.time()
+                clips = 0
+                out = None
+                for batch in prefetch_to_device(loader, size=2,
+                                                background=background):
+                    out = forward(params, batch["text"], batch["audio"],
+                                  batch["video"])
+                    clips += int(np.asarray(batch["emotion"]).shape[0])
+                sync(out)  # drain the async pipeline before the clock stops
+                return clips / (time.time() - t0)
+
+            try:
+                rates[mode] = run(background=True)
+            except Exception:
+                # tunneled/virtualized runtimes occasionally reject
+                # device_puts issued from the producer thread; retry with
+                # transfers on the main thread (still async-dispatched)
+                rates[mode] = run(background=False)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return rates

@@ -135,7 +135,7 @@ class DisentangledSelfAttention(nn.Module):
                          preferred_element_type=jnp.float32).astype(self.dtype)
         p2c = jnp.einsum("bhkp,kqp->bhqk", p2c, p2c_sel,
                          preferred_element_type=jnp.float32)
-        rel_bias = (c2p + p2c) / scale + attention_bias  # + −inf masked keys
+        rel_bias = (c2p + p2c) / scale
 
         # v5e-measured: with the disentangled bias already materialized in
         # HBM, flash is only at parity at S=512 — XLA keeps the default;
@@ -148,14 +148,20 @@ class DisentangledSelfAttention(nn.Module):
             # the fused logits are (q·k + c2p + p2c)/sqrt(3D) + mask.
             sqrt_d_over_scale = (jnp.sqrt(jnp.array(D, jnp.float32))
                                  / scale).astype(self.dtype)
-            ctx = flash_attention(q * sqrt_d_over_scale, k, v, bias=rel_bias)
+            ctx = flash_attention(q * sqrt_d_over_scale, k, v,
+                                  bias=rel_bias + attention_bias)
             return ctx.reshape(B, S, E)
+
+        from ..ops.attention import compact_scores
 
         scores = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k / scale.astype(self.dtype),
             preferred_element_type=jnp.float32,
         )
-        scores = scores + rel_bias
+        # compact BEFORE the additive key mask: f32.min would round to
+        # -inf in bf16 and fully-masked (padded-query) rows would go NaN,
+        # which the next layer's QK^T would spread to valid rows
+        scores = compact_scores(scores + rel_bias, self.dtype) + attention_bias
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
@@ -181,7 +187,9 @@ class DebertaLayer(nn.Module):
 
         inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
                          name="intermediate_dense")(hidden)
-        inter = jax.nn.gelu(inter, approximate=False)
+        from ..ops.attention import gelu as _gelu
+
+        inter = _gelu(inter, self.dtype)
         out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(inter)
         out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,

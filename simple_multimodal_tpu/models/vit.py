@@ -81,8 +81,11 @@ class ViTLayer(nn.Module):
             # HBM across the 12-layer x 30-frame stack (fwd and bwd)
             ctx = flash_attention(q, k, v)
         else:
+            from ..ops.attention import compact_scores
+
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                                 preferred_element_type=jnp.float32) * (D ** -0.5)
+            scores = compact_scores(scores, self.dtype)
             probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
             probs = nn.Dropout(cfg.attention_dropout)(probs,
                                                       deterministic=deterministic)
@@ -92,11 +95,13 @@ class ViTLayer(nn.Module):
         attn = nn.Dropout(cfg.hidden_dropout)(attn, deterministic=deterministic)
         hidden = hidden + attn
 
+        from ..ops.attention import gelu
+
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="layernorm_after")(hidden)
         x = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
                      name="intermediate_dense")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = gelu(x, self.dtype)
         x = nn.Dense(E, dtype=self.dtype, name="output_dense")(x)
         x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
         return hidden + x

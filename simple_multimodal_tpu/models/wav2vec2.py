@@ -93,7 +93,9 @@ class FeatureEncoder(nn.Module):
                 # normalization over the time axis.
                 x = nn.GroupNorm(num_groups=x.shape[-1], epsilon=1e-5,
                                  dtype=self.dtype, name="group_norm")(x)
-            x = jax.nn.gelu(x, approximate=False)
+            from ..ops.attention import gelu as _gelu
+
+            x = _gelu(x, self.dtype)
         return x
 
 
@@ -133,7 +135,9 @@ class PositionalConvEmbedding(nn.Module):
         ) + bias.astype(self.dtype)
         if K % 2 == 0:  # SamePad: drop the trailing extra frame
             out = out[:, :-1, :]
-        return jax.nn.gelu(out, approximate=False)
+        from ..ops.attention import gelu as _gelu
+
+        return _gelu(out, self.dtype)
 
 
 class Wav2Vec2EncoderLayer(nn.Module):
@@ -163,8 +167,11 @@ class Wav2Vec2EncoderLayer(nn.Module):
 
             ctx = flash_attention(q, k, v)  # applies the 1/sqrt(D) scale
         else:
+            from ..ops.attention import compact_scores
+
             scores = jnp.einsum("bqhd,bkhd->bhqk", q * (D ** -0.5), k,
                                 preferred_element_type=jnp.float32)
+            scores = compact_scores(scores, self.dtype)
             probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
             probs = nn.Dropout(cfg.attention_dropout)(probs,
                                                       deterministic=deterministic)
@@ -177,7 +184,9 @@ class Wav2Vec2EncoderLayer(nn.Module):
 
         ff = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
                       name="intermediate_dense")(hidden)
-        ff = jax.nn.gelu(ff, approximate=False)
+        from ..ops.attention import gelu as _gelu
+
+        ff = _gelu(ff, self.dtype)
         ff = nn.Dropout(cfg.hidden_dropout)(ff, deterministic=deterministic)
         ff = nn.Dense(E, dtype=self.dtype, name="output_dense")(ff)
         ff = nn.Dropout(cfg.hidden_dropout)(ff, deterministic=deterministic)

@@ -304,3 +304,33 @@ def test_gat_golden_numerics():
                          "bias": bias}}
     got = np.asarray(layer.apply(params, x, deterministic=True))
     np.testing.assert_allclose(got, expected, atol=1e-5, rtol=1e-5)
+
+
+def test_bf16_mode_close_to_f32(cfg):
+    """Mixed-precision mode (bf16 compute, compacted attention scores,
+    tanh-gelu) stays finite and within bf16-accumulation distance of the
+    f32 logits — guards the compact-before-mask ordering (a -inf rounding
+    bug there NaNs padded rows)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from simple_multimodal_tpu.models import MultimodalEmotionModel
+
+    c = dc.replace(cfg)
+    c.fusion_type = "early"
+    batch = make_batch(c, B=2, seed=21)
+    # padded text rows exercise the masked-key path under bf16
+    batch["text"]["attention_mask"][1, 8:] = 0
+    args = (batch["text"], batch["audio"], batch["video"])
+
+    m32 = MultimodalEmotionModel(c, dtype=jnp.float32)
+    m16 = MultimodalEmotionModel(c, dtype=jnp.bfloat16)
+    params = jax.jit(m32.init)(jax.random.PRNGKey(0), *args)
+    out32 = np.asarray(jax.jit(
+        lambda p, t, a, v: m32.apply(p, t, a, v)["emotion_logits"])(params, *args))
+    out16 = np.asarray(jax.jit(
+        lambda p, t, a, v: m16.apply(p, t, a, v)["emotion_logits"])(params, *args),
+        np.float32)
+    assert np.isfinite(out16).all()
+    assert np.abs(out16 - out32).max() < 0.15, (out16, out32)
