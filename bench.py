@@ -116,6 +116,76 @@ def measure_e2e_pipelined(cfg, forward, params, batch_size, sync,
     return rates
 
 
+def sweep_configs(batch: int, iters: int):
+    """Device-resident clips/s + p50 batch-1 latency for the five
+    BASELINE.json configs (fusion/wrapper variants over the base encoder
+    stack; config #1 is the tiny-encoder early-fusion smoke config).
+    Writes bench_sweep.json."""
+    import jax
+
+    from simple_multimodal_tpu.config import ModelConfig
+    from simple_multimodal_tpu.models import create_model
+
+    # (name, preset, fusion, model_type) per BASELINE.json "configs"
+    cases = [
+        ("1_early_tiny", "tiny", "early", "standard"),
+        ("2_late_base", "base", "late", "standard"),
+        ("3_mult_base", "base", "mult", "standard"),
+        ("4_graph_contrastive_robust", "base", "graph", "robust"),
+        ("5_hierarchical_base", "base", "hierarchical", "standard"),
+    ]
+    rng = np.random.default_rng(0)
+    results = {}
+    for name, preset, fusion, model_type in cases:
+        cfg = ModelConfig(encoder_preset=preset,
+                          data_path="/tmp/smm_bench/data",
+                          save_path="/tmp/smm_bench/ckpt",
+                          log_path="/tmp/smm_bench/logs")
+        cfg.fusion_type = fusion
+        model = create_model(cfg, model_type)  # resolves bf16 dtype itself
+        B = batch
+        b = {
+            "text": {"input_ids": rng.integers(1, 120000, (B, cfg.text_max_length)).astype(np.int32),
+                     "attention_mask": np.ones((B, cfg.text_max_length), np.int32)},
+            "audio": (rng.standard_normal((B, cfg.audio_max_length)) * 8000).astype(np.int16),
+            "video": rng.integers(0, 255, (B, cfg.video_max_frames,
+                                           *cfg.video_frame_size, 3)).astype(np.uint8),
+        }
+        try:
+            params = jax.jit(model.init)(jax.random.PRNGKey(0), b["text"],
+                                         b["audio"], b["video"])
+            logits_key = ("robust_prediction" if model_type == "robust"
+                          else "emotion_logits")
+            fwd = jax.jit(lambda p, t, a, v: model.apply(p, t, a, v)[logits_key])
+            dev = jax.device_put(b)
+            out = fwd(params, dev["text"], dev["audio"], dev["video"])
+            np.asarray(jax.device_get(out))
+            t0 = time.time()
+            for _ in range(iters):
+                out = fwd(params, dev["text"], dev["audio"], dev["video"])
+            np.asarray(jax.device_get(out))
+            sec = (time.time() - t0) / iters
+            one = {"text": {k: v[:1] for k, v in dev["text"].items()},
+                   "audio": dev["audio"][:1], "video": dev["video"][:1]}
+            lats = []
+            for _ in range(max(iters, 5)):
+                t0 = time.time()
+                np.asarray(jax.device_get(
+                    fwd(params, one["text"], one["audio"], one["video"])))
+                lats.append(time.time() - t0)
+            results[name] = {
+                "clips_per_sec_device_resident": B / sec,
+                "p50_latency_s_batch1": float(np.median(lats)),
+            }
+            del params
+        except Exception as e:  # keep sweeping; record the failure
+            results[name] = {"error": str(e)[:300]}
+        print(f"{name}: {results[name]}", file=sys.stderr)
+    with open(os.path.join(ROOT, "bench_sweep.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    return results
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default=os.environ.get("SMM_BENCH_PRESET", "base"))
@@ -127,6 +197,8 @@ def main():
                         help="Disable bf16 mixed precision")
     parser.add_argument("--train", action="store_true",
                         help="Also measure training-step throughput")
+    parser.add_argument("--sweep", action="store_true",
+                        help="Bench the 5 BASELINE.json configs → bench_sweep.json")
     parser.add_argument("--profile", type=str, default=None,
                         help="Capture an XLA trace of the timed region to DIR")
     args = parser.parse_args()
@@ -140,6 +212,10 @@ def main():
         )
     except Exception:
         pass
+
+    if args.sweep:
+        sweep_configs(args.batch, args.iters)
+        return
 
     from simple_multimodal_tpu.config import ModelConfig
     from simple_multimodal_tpu.models import MultimodalEmotionModel
@@ -252,7 +328,12 @@ def main():
         from simple_multimodal_tpu.train.steps import make_train_step
 
         tx = make_optimizer(cfg, params, total_steps=1000)
-        state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+        # own copy: the train step DONATES the state buffers, and
+        # state.params would otherwise alias `params`, leaving the later
+        # e2e forward reading deleted buffers (surfaces as an opaque
+        # backend InvalidArgument on fetch with this runtime)
+        train_params = jax.tree_util.tree_map(jax.numpy.array, params)
+        state = TrainState.create(train_params, tx, jax.random.PRNGKey(1))
         step = make_train_step(model, tx, cfg, augment=True,
                                compute_contrastive_loss=True)
         # device-resident batch: the DeviceCachedLoader steady state
@@ -274,6 +355,14 @@ def main():
         train_detail["train_sec_per_step"] = sec
         train_detail["train_clips_per_sec"] = B / sec
         train_detail["train_loss_sample"] = float(parts["total_loss"])
+        # Release the training state (params + Adam moments ≈ 3× param
+        # bytes) before the e2e phase — keeping it resident alongside the
+        # inference params starves HBM and the e2e forward dies with an
+        # opaque backend error on this runtime.
+        del state, parts, tb
+        import gc
+
+        gc.collect()
 
     detail = {
         "device": str(device),
@@ -314,7 +403,10 @@ def main():
             detail["e2e_clips_per_sec_cold_decode"] = e2e["cold"]
             e2e_clips_per_sec = e2e["warm"]
         except Exception as e:
+            import traceback
+
             detail["e2e_error"] = str(e)
+            detail["e2e_traceback"] = traceback.format_exc()[-2000:]
             e2e_clips_per_sec = fwd_clips_per_sec
     else:
         e2e_clips_per_sec = fwd_clips_per_sec

@@ -143,6 +143,38 @@ def test_deberta_flash_matches_xla():
                                atol=2e-4, rtol=2e-3)
 
 
+@pytest.mark.parametrize("which", ["vit", "wav2vec2"])
+def test_encoder_layer_flash_matches_xla_long_seq(which):
+    """The ViT / wav2vec2 layer flash routes (engaged for S > 512) match the
+    XLA attention numerics (interpret mode on CPU)."""
+    import dataclasses as dc
+
+    rng = np.random.default_rng(13)
+    S = 576
+    if which == "vit":
+        from simple_multimodal_tpu.models.vit import ViTConfig, ViTLayer
+
+        cfg = ViTConfig.tiny()
+        make = lambda fl: ViTLayer(dc.replace(cfg, use_flash=fl))
+        E = cfg.hidden_size
+    else:
+        from simple_multimodal_tpu.models.wav2vec2 import (
+            Wav2Vec2Config,
+            Wav2Vec2EncoderLayer,
+        )
+
+        cfg = Wav2Vec2Config.tiny()
+        make = lambda fl: Wav2Vec2EncoderLayer(dc.replace(cfg, use_flash=fl))
+        E = cfg.hidden_size
+    x = rng.standard_normal((2, S, E)).astype(np.float32)
+    m_xla, m_fl = make(False), make(True)
+    params = jax.jit(m_xla.init)(jax.random.PRNGKey(0), x)
+    ref = jax.jit(m_xla.apply)(params, x)
+    out = jax.jit(m_fl.apply)(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-3)
+
+
 def test_flash_cross_attention_lengths():
     B, Sq, Sk, H, D = 1, 30, 130, 2, 16
     rng = np.random.default_rng(2)
