@@ -101,6 +101,14 @@ class DeviceCachedLoader:
             raise ValueError("DeviceCachedLoader needs a non-empty loader")
         self.batch_size = int(np.asarray(batches[0]["emotion"]).shape[0])
         self._num_batches = len(batches)
+        # the device-side permutation gather assumes uniform batches; a
+        # short tail would make out-of-range indices silently clamp
+        sizes = [int(np.asarray(b["emotion"]).shape[0]) for b in batches]
+        if any(sz != self.batch_size for sz in sizes):
+            raise ValueError(
+                f"DeviceCachedLoader needs uniform batch sizes, got {sizes}; "
+                "use a wrap-padding loader (create_dataloader does this)."
+            )
 
         host = {k: [] for k in self._HOST_FIELDS if k in batches[0]}
         stacked = jax.tree_util.tree_map(

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.attention import compact_scores, gelu
+
 
 @dataclasses.dataclass(frozen=True)
 class DebertaConfig:
@@ -80,8 +82,6 @@ def log_bucket_positions(seq_len: int, bucket_size: int, max_position: int) -> n
     """Bucketed relative positions [seq, seq], computed host-side as a constant."""
     q = np.arange(seq_len)
     return log_bucket(q[:, None] - q[None, :], bucket_size, max_position)
-
-
 
 
 class DisentangledSelfAttention(nn.Module):
@@ -152,8 +152,6 @@ class DisentangledSelfAttention(nn.Module):
                                   bias=rel_bias + attention_bias)
             return ctx.reshape(B, S, E)
 
-        from ..ops.attention import compact_scores
-
         scores = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k / scale.astype(self.dtype),
             preferred_element_type=jnp.float32,
@@ -187,9 +185,7 @@ class DebertaLayer(nn.Module):
 
         inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
                          name="intermediate_dense")(hidden)
-        from ..ops.attention import gelu as _gelu
-
-        inter = _gelu(inter, self.dtype)
+        inter = gelu(inter, self.dtype)
         out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(inter)
         out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.attention import compact_scores, gelu
+
 
 @dataclasses.dataclass(frozen=True)
 class ViTConfig:
@@ -81,8 +83,6 @@ class ViTLayer(nn.Module):
             # HBM across the 12-layer x 30-frame stack (fwd and bwd)
             ctx = flash_attention(q, k, v)
         else:
-            from ..ops.attention import compact_scores
-
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                                 preferred_element_type=jnp.float32) * (D ** -0.5)
             scores = compact_scores(scores, self.dtype)
@@ -94,8 +94,6 @@ class ViTLayer(nn.Module):
         attn = nn.Dense(E, dtype=self.dtype, name="attn_output")(ctx.reshape(B, S, E))
         attn = nn.Dropout(cfg.hidden_dropout)(attn, deterministic=deterministic)
         hidden = hidden + attn
-
-        from ..ops.attention import gelu
 
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="layernorm_after")(hidden)

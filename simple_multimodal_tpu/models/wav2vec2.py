@@ -25,6 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.attention import compact_scores, gelu
+
 
 @dataclasses.dataclass(frozen=True)
 class Wav2Vec2Config:
@@ -93,9 +95,7 @@ class FeatureEncoder(nn.Module):
                 # normalization over the time axis.
                 x = nn.GroupNorm(num_groups=x.shape[-1], epsilon=1e-5,
                                  dtype=self.dtype, name="group_norm")(x)
-            from ..ops.attention import gelu as _gelu
-
-            x = _gelu(x, self.dtype)
+            x = gelu(x, self.dtype)
         return x
 
 
@@ -135,9 +135,7 @@ class PositionalConvEmbedding(nn.Module):
         ) + bias.astype(self.dtype)
         if K % 2 == 0:  # SamePad: drop the trailing extra frame
             out = out[:, :-1, :]
-        from ..ops.attention import gelu as _gelu
-
-        return _gelu(out, self.dtype)
+        return gelu(out, self.dtype)
 
 
 class Wav2Vec2EncoderLayer(nn.Module):
@@ -167,8 +165,6 @@ class Wav2Vec2EncoderLayer(nn.Module):
 
             ctx = flash_attention(q, k, v)  # applies the 1/sqrt(D) scale
         else:
-            from ..ops.attention import compact_scores
-
             scores = jnp.einsum("bqhd,bkhd->bhqk", q * (D ** -0.5), k,
                                 preferred_element_type=jnp.float32)
             scores = compact_scores(scores, self.dtype)
@@ -184,9 +180,7 @@ class Wav2Vec2EncoderLayer(nn.Module):
 
         ff = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
                       name="intermediate_dense")(hidden)
-        from ..ops.attention import gelu as _gelu
-
-        ff = _gelu(ff, self.dtype)
+        ff = gelu(ff, self.dtype)
         ff = nn.Dropout(cfg.hidden_dropout)(ff, deterministic=deterministic)
         ff = nn.Dense(E, dtype=self.dtype, name="output_dense")(ff)
         ff = nn.Dropout(cfg.hidden_dropout)(ff, deterministic=deterministic)

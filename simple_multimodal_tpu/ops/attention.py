@@ -58,9 +58,10 @@ def use_flash_attention(config) -> bool:
     if isinstance(fa, str):
         if fa != "auto":
             return fa.lower() in ("1", "true", "yes", "on")
-        mesh = getattr(config, "mesh_shape", (1, 1))
-        return (jax.default_backend() == "tpu"
-                and int(np.prod(np.asarray(mesh))) == 1)
+        d, m = getattr(config, "mesh_shape", (1, 1))
+        if d == -1:  # make_mesh fill syntax: data axis takes all devices
+            d = max(jax.device_count() // m, 1)
+        return jax.default_backend() == "tpu" and d * m == 1
     return bool(fa)
 
 
@@ -97,6 +98,7 @@ class MultiHeadAttention(nn.Module):
 
         use_flash = (
             self.use_flash
+            and not need_weights  # else probs must materialize anyway
             and mask is None
             and (self.dropout == 0.0 or deterministic)
             # v5e-measured: XLA's fused einsum path wins in-context at
@@ -110,16 +112,6 @@ class MultiHeadAttention(nn.Module):
             from .pallas.flash_attention import flash_attention
 
             out = flash_attention(q, k, v)  # [B, Q, H, Dh]
-            if need_weights:
-                # Averaged head weights for the caller's introspection dict.
-                # When the jitted consumer only uses the attention OUTPUT
-                # (train/eval steps select logits), XLA dead-code-eliminates
-                # this whole branch, so the flash path stays fused.
-                scale = 1.0 / jnp.sqrt(jnp.array(Dh, dtype=jnp.float32))
-                logits = jnp.einsum(
-                    "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-                ) * scale
-                probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         else:
             scale = 1.0 / jnp.sqrt(jnp.array(Dh, dtype=jnp.float32))
             logits = jnp.einsum(

@@ -401,9 +401,23 @@ def flash_attention(
         interpret = jax.default_backend() != "tpu"
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
-    lane = 128 if not interpret else 1  # avoid over-padding tiny test shapes
-    block_q = min(block_q, -(-Sq // lane) * lane)
-    block_k = min(block_k, -(-Sk // lane) * lane)
+
+    def pick_block(requested, S):
+        if interpret:  # tests pass explicit small blocks; no lane padding
+            return min(requested, max(S, 1))
+        lane_p = -(-S // 128) * 128  # lane-padded length
+        if lane_p <= requested:
+            return lane_p  # single block, no extra padding
+        # largest block dividing the lane-padded length — padding to a
+        # multiple of a 512 block instead would waste up to ~2.5x score
+        # work at lengths just past the S>512 engagement threshold
+        for b in (512, 384, 256, 128):
+            if b <= requested and lane_p % b == 0:
+                return b
+        return 128
+
+    block_q = pick_block(block_q, Sq)
+    block_k = pick_block(block_k, Sk)
 
     qt = _pad_axis(jnp.swapaxes(q, 1, 2), 2, block_q)  # [B, H, Sq_p, D]
     kt = _pad_axis(jnp.swapaxes(k, 1, 2), 2, block_k)
