@@ -126,15 +126,20 @@ class DisentangledSelfAttention(nn.Module):
         pos_k = k_proj(rel_embeddings).reshape(2 * span, H, D)
 
         # c2p: bias[q,k] = q[q]·pos_k[bucket(q−k)]
+        # Each [B,H,S,S] bias product is stored in the compute dtype under
+        # mixed precision (compact_scores): same traffic-halving trade as
+        # the QK^T scores; the softmax-input sum happens in f32.
         c2p = jnp.einsum("bqhd,phd->bhqp", q, pos_k,
                          preferred_element_type=jnp.float32).astype(self.dtype)
-        c2p = jnp.einsum("bhqp,qkp->bhqk", c2p, c2p_sel,
-                         preferred_element_type=jnp.float32)
+        c2p = compact_scores(jnp.einsum("bhqp,qkp->bhqk", c2p, c2p_sel,
+                                        preferred_element_type=jnp.float32),
+                             self.dtype)
         # p2c: bias[q,k] = k[k]·pos_q[bucket(−(k−q))]
         p2c = jnp.einsum("bkhd,phd->bhkp", k, pos_q,
                          preferred_element_type=jnp.float32).astype(self.dtype)
-        p2c = jnp.einsum("bhkp,kqp->bhqk", p2c, p2c_sel,
-                         preferred_element_type=jnp.float32)
+        p2c = compact_scores(jnp.einsum("bhkp,kqp->bhqk", p2c, p2c_sel,
+                                        preferred_element_type=jnp.float32),
+                             self.dtype)
         rel_bias = (c2p + p2c) / scale
 
         # v5e-measured: with the disentangled bias already materialized in
