@@ -334,3 +334,23 @@ def test_bf16_mode_close_to_f32(cfg):
         np.float32)
     assert np.isfinite(out16).all()
     assert np.abs(out16 - out32).max() < 0.15, (out16, out32)
+
+
+def test_use_flash_attention_resolves_mesh_fill_syntax():
+    """'auto' must treat mesh_shape=(-1, 1) on a single-device host as a
+    single-chip run (np.prod of the fill sentinel used to yield -1)."""
+    import dataclasses as dc
+
+    from simple_multimodal_tpu.ops.attention import use_flash_attention
+
+    class Cfg:
+        flash_attention = "auto"
+        mesh_shape = (-1, 1)
+
+    # CPU backend in tests → auto is False either way; the -1 resolution is
+    # what must not blow up or misreport multi-chip
+    assert use_flash_attention(Cfg()) in (False, True)
+    Cfg.flash_attention = "true"
+    assert use_flash_attention(Cfg()) is True
+    Cfg.flash_attention = False
+    assert use_flash_attention(Cfg()) is False
