@@ -54,6 +54,18 @@ def _mha(sd, prefix) -> Dict:
     }
 
 
+def _stack_layers(layers) -> Dict:
+    """Stack a list of per-layer param dicts into one [L, ...]-leaved dict
+    (the models scan over layers with stacked params; see deberta.py)."""
+    out = {}
+    for key, value in layers[0].items():
+        if isinstance(value, dict):
+            out[key] = _stack_layers([layer[key] for layer in layers])
+        else:
+            out[key] = np.stack([layer[key] for layer in layers])
+    return out
+
+
 def _lstm(sd, prefix, num_layers: int, bidirectional: bool) -> Dict:
     out = {}
     dirs = ("", "_reverse") if bidirectional else ("",)
@@ -79,9 +91,10 @@ def convert_deberta(sd: Dict, num_layers: int) -> Dict:
         "rel_embeddings": _np(sd["encoder.rel_embeddings.weight"]),
         "rel_ln": _ln(sd, "encoder.LayerNorm"),
     }
+    layers = []
     for i in range(num_layers):
         pre = f"encoder.layer.{i}"
-        p[f"layer_{i}"] = {
+        layers.append({
             "self": {
                 "query_proj": _dense(sd, f"{pre}.attention.self.query_proj"),
                 "key_proj": _dense(sd, f"{pre}.attention.self.key_proj"),
@@ -92,7 +105,8 @@ def convert_deberta(sd: Dict, num_layers: int) -> Dict:
             "intermediate_dense": _dense(sd, f"{pre}.intermediate.dense"),
             "output_dense": _dense(sd, f"{pre}.output.dense"),
             "output_ln": _ln(sd, f"{pre}.output.LayerNorm"),
-        }
+        })
+    p["layers"] = _stack_layers(layers)
     return p
 
 
@@ -130,9 +144,10 @@ def convert_wav2vec2(sd: Dict, num_conv: int, num_layers: int) -> Dict:
     }
     if "masked_spec_embed" in sd:
         p["masked_spec_embed"] = _np(sd["masked_spec_embed"])
+    layers = []
     for i in range(num_layers):
         pre = f"encoder.layers.{i}"
-        p[f"layer_{i}"] = {
+        layers.append({
             "q_proj": _dense(sd, f"{pre}.attention.q_proj"),
             "k_proj": _dense(sd, f"{pre}.attention.k_proj"),
             "v_proj": _dense(sd, f"{pre}.attention.v_proj"),
@@ -141,7 +156,8 @@ def convert_wav2vec2(sd: Dict, num_conv: int, num_layers: int) -> Dict:
             "intermediate_dense": _dense(sd, f"{pre}.feed_forward.intermediate_dense"),
             "output_dense": _dense(sd, f"{pre}.feed_forward.output_dense"),
             "final_layer_norm": _ln(sd, f"{pre}.final_layer_norm"),
-        }
+        })
+    p["layers"] = _stack_layers(layers)
     return p
 
 
@@ -159,6 +175,7 @@ def convert_vit(sd: Dict, num_layers: int) -> Dict:
         },
         "layernorm": _ln(sd, "layernorm"),
     }
+    layers = []
     for i in range(num_layers):
         pre = f"encoder.layer.{i}"
         attn_pre = (
@@ -166,7 +183,7 @@ def convert_vit(sd: Dict, num_layers: int) -> Dict:
             if f"{pre}.attention.attention.query.weight" in sd
             else f"{pre}.attention"
         )
-        p[f"layer_{i}"] = {
+        layers.append({
             "layernorm_before": _ln(sd, f"{pre}.layernorm_before"),
             "layernorm_after": _ln(sd, f"{pre}.layernorm_after"),
             "query": _dense(sd, f"{attn_pre}.query"),
@@ -175,7 +192,8 @@ def convert_vit(sd: Dict, num_layers: int) -> Dict:
             "attn_output": _dense(sd, f"{pre}.attention.output.dense"),
             "intermediate_dense": _dense(sd, f"{pre}.intermediate.dense"),
             "output_dense": _dense(sd, f"{pre}.output.dense"),
-        }
+        })
+    p["layers"] = _stack_layers(layers)
     return p
 
 

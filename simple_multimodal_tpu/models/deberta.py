@@ -90,7 +90,7 @@ class DisentangledSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, attention_bias, rel_embeddings, rel_select,
-                 deterministic: bool = True):
+                 attention_mask, deterministic: bool = True):
         cfg = self.config
         B, S, E = hidden.shape
         H = cfg.num_heads
@@ -107,6 +107,25 @@ class DisentangledSelfAttention(nn.Module):
 
         scale_factor = 3  # 1 + c2p + p2c
         scale = jnp.sqrt(jnp.array(D, jnp.float32) * scale_factor)
+
+        if rel_select is None:
+            # Fused-kernel path (DebertaModel decided it): QKᵀ, the c2p/p2c
+            # bias, masking, softmax, and ·V run in ONE Pallas program per
+            # (batch, head-group) — no [B, H, S, S] tensor ever reaches HBM.
+            # The one-hot XLA path below streams ~536 MB/layer of selection
+            # constants at S=512 (bandwidth-bound, 2 ms/layer measured).
+            from ..ops.pallas.deberta_attention import deberta_attention
+
+            rel_embeddings = nn.Dropout(cfg.hidden_dropout)(
+                rel_embeddings, deterministic=deterministic
+            )
+            pos_k = k_proj(rel_embeddings)   # share_att_key=True
+            pos_q = q_proj(rel_embeddings)
+            ctx = deberta_attention(
+                q, k, v, pos_k, pos_q, attention_mask,
+                span=span, max_position=cfg.max_position_embeddings,
+            )
+            return ctx.reshape(B, S, E)
 
         # --- disentangled bias (share_att_key=True: reuse q/k projections) ---
         # The (q,k)→bucket selection is a static pattern; the bias "gather"
@@ -175,13 +194,15 @@ class DisentangledSelfAttention(nn.Module):
 class DebertaLayer(nn.Module):
     config: DebertaConfig
     dtype: jnp.dtype = jnp.float32
+    scan: bool = False  # under nn.scan the body must return (carry, ys)
 
     @nn.compact
     def __call__(self, hidden, attention_bias, rel_embeddings, rel_select,
-                 deterministic: bool = True):
+                 attention_mask, deterministic: bool = True):
         cfg = self.config
         attn = DisentangledSelfAttention(cfg, dtype=self.dtype, name="self")(
-            hidden, attention_bias, rel_embeddings, rel_select, deterministic
+            hidden, attention_bias, rel_embeddings, rel_select,
+            attention_mask, deterministic
         )
         attn = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="attn_out_dense")(attn)
         attn = nn.Dropout(cfg.hidden_dropout)(attn, deterministic=deterministic)
@@ -193,8 +214,9 @@ class DebertaLayer(nn.Module):
         inter = gelu(inter, self.dtype)
         out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(inter)
         out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                            name="output_ln")(out + hidden)
+        out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                           name="output_ln")(out + hidden)
+        return (out, None) if self.scan else out
 
 
 class DebertaModel(nn.Module):
@@ -241,19 +263,36 @@ class DebertaModel(nn.Module):
         emb = emb * attention_mask[..., None].astype(emb.dtype)
         hidden = nn.Dropout(cfg.hidden_dropout)(emb, deterministic=deterministic)
 
-        m = attention_mask.astype(bool)
-        pair = m[:, None, :, None] & m[:, None, None, :]
-        attention_bias = jnp.where(pair, 0.0, jnp.finfo(jnp.float32).min)
+        # Path choice: the fused Pallas kernel computes the disentangled bias
+        # per VMEM tile (ops/pallas/deberta_attention.py); the XLA fallback
+        # materializes one-hot bucket selections and [B,H,S,S] biases. The
+        # kernel path must also skip building the [S,S,2·span] one-hot
+        # constants — at S=512 they are ~268 MB of HBM-resident graph
+        # constants on their own.
+        from ..ops.pallas.deberta_attention import fused_viable
 
+        head_dim = cfg.hidden_size // cfg.num_heads
+        use_fused = (
+            cfg.use_flash
+            and (deterministic or cfg.attention_dropout == 0.0)
+            and fused_viable(S, cfg.num_heads, head_dim)
+        )
         span = cfg.position_buckets
-        rel_pos = log_bucket_positions(S, span, cfg.max_position_embeddings)
-        # Static one-hot bucket selections, computed once and shared by every
-        # layer (the bias gathers run as MXU einsums against these).
-        c2p_idx = np.clip(rel_pos + span, 0, 2 * span - 1)
-        p2c_idx = np.clip(-rel_pos + span, 0, 2 * span - 1)
-        c2p_sel = jax.nn.one_hot(c2p_idx, 2 * span, dtype=self.dtype)
-        p2c_sel = jax.nn.one_hot(p2c_idx, 2 * span, dtype=self.dtype)
-        rel_select = (c2p_sel, p2c_sel)
+        if use_fused:
+            attention_bias = None
+            rel_select = None
+        else:
+            m = attention_mask.astype(bool)
+            pair = m[:, None, :, None] & m[:, None, None, :]
+            attention_bias = jnp.where(pair, 0.0, jnp.finfo(jnp.float32).min)
+            rel_pos = log_bucket_positions(S, span, cfg.max_position_embeddings)
+            # Static one-hot bucket selections, computed once and shared by
+            # every layer (the bias gathers run as MXU einsums against these).
+            c2p_idx = np.clip(rel_pos + span, 0, 2 * span - 1)
+            p2c_idx = np.clip(-rel_pos + span, 0, 2 * span - 1)
+            c2p_sel = jax.nn.one_hot(c2p_idx, 2 * span, dtype=self.dtype)
+            p2c_sel = jax.nn.one_hot(p2c_idx, 2 * span, dtype=self.dtype)
+            rel_select = (c2p_sel, p2c_sel)
 
         rel_emb_table = self.param(
             "rel_embeddings", nn.initializers.normal(0.02),
@@ -263,11 +302,25 @@ class DebertaModel(nn.Module):
             epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="rel_ln"
         )(rel_emb_table)
 
+        # Layers run under nn.scan with stacked [L, ...] params: the layer
+        # body is traced and compiled ONCE instead of num_layers times —
+        # unrolled 12-layer stacks were the dominant compile cost (569 s for
+        # the flagship forward; three 12-layer encoders, ×2 for the KD pair).
+        # prevent_cse is safe off inside scan (jax.checkpoint docs); remat
+        # composes as scan-of-remat, the standard per-layer pattern.
         layer_cls = (
-            nn.remat(DebertaLayer, static_argnums=(5,)) if self.remat else DebertaLayer
+            nn.remat(DebertaLayer, static_argnums=(6,), prevent_cse=False)
+            if self.remat else DebertaLayer
         )
-        for i in range(cfg.num_layers):
-            hidden = layer_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(
-                hidden, attention_bias, rel_embeddings, rel_select, deterministic
-            )
+        scanned = nn.scan(
+            layer_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=nn.broadcast,
+            length=cfg.num_layers,
+        )
+        hidden, _ = scanned(cfg, dtype=self.dtype, scan=True, name="layers")(
+            hidden, attention_bias, rel_embeddings, rel_select,
+            attention_mask, deterministic
+        )
         return hidden

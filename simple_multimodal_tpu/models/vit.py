@@ -57,6 +57,7 @@ class ViTConfig:
 class ViTLayer(nn.Module):
     config: ViTConfig
     dtype: jnp.dtype = jnp.float32
+    scan: bool = False  # under nn.scan the body must return (carry, ys)
 
     @nn.compact
     def __call__(self, hidden: jnp.ndarray, deterministic: bool = True):
@@ -102,7 +103,8 @@ class ViTLayer(nn.Module):
         x = gelu(x, self.dtype)
         x = nn.Dense(E, dtype=self.dtype, name="output_dense")(x)
         x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
-        return hidden + x
+        out = hidden + x
+        return (out, None) if self.scan else out
 
 
 class ViTModel(nn.Module):
@@ -136,13 +138,22 @@ class ViTModel(nn.Module):
         x = x + pos_embed.astype(self.dtype)
         x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
 
+        # nn.scan over stacked [L, ...] layer params: one traced/compiled
+        # body instead of num_layers unrolled copies (see deberta.py note).
         layer_cls = (
-            nn.remat(ViTLayer, static_argnums=(2,)) if self.remat else ViTLayer
+            nn.remat(ViTLayer, static_argnums=(2,), prevent_cse=False)
+            if self.remat else ViTLayer
         )
-        for i in range(cfg.num_layers):
-            x = layer_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(
-                x, deterministic
-            )
+        scanned = nn.scan(
+            layer_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=nn.broadcast,
+            length=cfg.num_layers,
+        )
+        x, _ = scanned(cfg, dtype=self.dtype, scan=True, name="layers")(
+            x, deterministic
+        )
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="layernorm")(x)
         if cls_only:

@@ -143,6 +143,7 @@ class Wav2Vec2EncoderLayer(nn.Module):
 
     config: Wav2Vec2Config
     dtype: jnp.dtype = jnp.float32
+    scan: bool = False  # under nn.scan the body must return (carry, ys)
 
     @nn.compact
     def __call__(self, hidden: jnp.ndarray, deterministic: bool = True):
@@ -184,8 +185,9 @@ class Wav2Vec2EncoderLayer(nn.Module):
         ff = nn.Dropout(cfg.hidden_dropout)(ff, deterministic=deterministic)
         ff = nn.Dense(E, dtype=self.dtype, name="output_dense")(ff)
         ff = nn.Dropout(cfg.hidden_dropout)(ff, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                            name="final_layer_norm")(hidden + ff)
+        out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                           name="final_layer_norm")(hidden + ff)
+        return (out, None) if self.scan else out
 
 
 class Wav2Vec2Model(nn.Module):
@@ -231,12 +233,20 @@ class Wav2Vec2Model(nn.Module):
                          name="encoder_layer_norm")(x + pos)
         x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
 
+        # nn.scan over stacked [L, ...] layer params: one traced/compiled
+        # body instead of num_layers unrolled copies (see deberta.py note).
         layer_cls = (
-            nn.remat(Wav2Vec2EncoderLayer, static_argnums=(2,))
+            nn.remat(Wav2Vec2EncoderLayer, static_argnums=(2,), prevent_cse=False)
             if self.remat else Wav2Vec2EncoderLayer
         )
-        for i in range(cfg.num_layers):
-            x = layer_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(
-                x, deterministic
-            )
+        scanned = nn.scan(
+            layer_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=nn.broadcast,
+            length=cfg.num_layers,
+        )
+        x, _ = scanned(cfg, dtype=self.dtype, scan=True, name="layers")(
+            x, deterministic
+        )
         return x

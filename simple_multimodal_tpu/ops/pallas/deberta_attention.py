@@ -1,0 +1,320 @@
+"""Fused DeBERTa disentangled attention — one Pallas kernel per layer.
+
+Computes softmax((Q·Kᵀ + c2p + p2c)/√(3D) + mask)·V where c2p/p2c are
+DeBERTa-v2/v3's content↔position bias terms (the workload of
+/root/reference/models/encoders.py:20, HF DebertaV2 DisentangledSelfAttention),
+WITHOUT materializing any [B, H, S, S] tensor in HBM.
+
+Why this exists (v5e, measured round 2): the XLA path realizes the bias via
+one-hot einsums whose [S, S, 2·span] selection constants stream ~536 MB of
+HBM per layer at S=512 — the text encoder was 24.3 ms at ~292 GB/s effective
+bandwidth while the MXU sat idle. Here the bias is computed per head-group
+tile in VMEM:
+
+1.  The bucketed position tables are pre-gathered OUTSIDE the kernel into
+    *relative-offset order*: ``T[u] = pos[clip(bucket(r(u)) + span)]`` with
+    ``r(u) = (S_rows - 1) - u`` — a tiny [W, H, D] gather of the [2·span, H, D]
+    projection table (XLA handles it; W ≈ 2S).
+2.  In-kernel, per 128-row block: one MXU matmul against a static window of
+    the table gives ``x[r, w] = row_r · T[off + w]``; the bias tile
+    ``y[r, c] = x[r, c + 127 - r]`` is a Toeplitz (diagonal-band) extraction.
+3.  The extraction runs as a *binary-decomposed per-row circular roll*:
+    7 static ``pltpu.roll`` passes gated by the bits of the row index, then a
+    static slice. Measured on-chip: the 9-pass/512-row variant costs <9 µs —
+    reshape-based skews and per-row dynamic slices do NOT lower in Mosaic
+    (both rejected by the compiler; see RESULTS.md round 3).
+4.  p2c is the same structure with rows=keys (rel = k − q); its [G, 128, Sq]
+    tiles are transposed in VMEM (also measured ~free) and accumulated.
+
+The only HBM traffic is q/k/v/out + the small tables: ~50 MB/layer vs
+~600 MB/layer for the XLA path.
+
+Backward: a custom VJP differentiates ``_xla_reference`` — the same math as
+pad/reshape/slice rel-shift einsums in plain XLA. Training normally keeps
+attention dropout > 0 and therefore uses the module's one-hot path; the VJP
+exists so ``jax.grad`` through a deterministic forward is correct, not fast.
+
+Grid: one program per (batch, head-group); the whole sequence lives in VMEM
+(gated to padded S ≤ ~1k — covers every reference shape, 512 + prompts).
+"""
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+_VMEM_BUDGET = 11 * 1024 * 1024
+_QBLOCK = 128  # row-block for the skew (7 roll passes; static table windows)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _head_group(H, Sq, Sk, D, itemsize) -> int:
+    """Largest divisor of H whose per-program buffers fit the VMEM budget."""
+    W = Sq + Sk
+    for g in range(H, 0, -1):
+        if H % g:
+            continue
+        qkv = 3 * g * max(Sq, Sk) * D * itemsize * 2  # double-buffered
+        tables = 2 * g * W * D * itemsize * 2
+        scores = g * Sq * Sk * 4  # f32 scratch
+        windows = 3 * g * _QBLOCK * (Sk + _QBLOCK) * 4  # skew temps (live set)
+        if qkv + tables + scores + windows <= _VMEM_BUDGET:
+            return g
+    return 1
+
+
+def _skew(x, n_cols, interpret):
+    """x [G, R, W] → y [G, R, n_cols] with y[g, r, c] = x[g, r, c + (R-1) - r].
+
+    Per-row circular roll RIGHT by the row index (binary-decomposed static
+    rolls — Mosaic supports only static shifts), then a static lane slice:
+    rolled[g, r, w] = x[g, r, (w - r) mod W], so rolled[g, r, c + R - 1]
+    = x[g, r, c + (R-1) - r] for c + R - 1 - r ≥ 0, which holds ∀c,r.
+    """
+    G, R, W = x.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (G, R, W), 1)
+    bits = 0
+    while (1 << bits) < R:
+        bits += 1
+    for b in range(bits):
+        sh = 1 << b
+        if interpret:
+            rolled = jnp.roll(x, sh, axis=-1)
+        else:
+            rolled = pltpu.roll(x, sh, 2)
+        x = jnp.where((rows & sh) != 0, rolled, x)
+    return x[:, :, R - 1 : R - 1 + n_cols]
+
+
+def _bdot(a, b, contract_a, contract_b):
+    """Batch-0 dot: contract a[contract_a] with b[contract_b]."""
+    return jax.lax.dot_general(
+        a, b, (((contract_a,), (contract_b,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _kernel(q_ref, k_ref, v_ref, tc_ref, tp_ref, mask_ref, o_ref, s_scr,
+            *, inv_scale, interpret):
+    q = q_ref[0]   # [G, Sq, D]
+    k = k_ref[0]   # [G, Sk, D]
+    v = v_ref[0]
+    G, Sq, D = q.shape
+    Sk = k.shape[1]
+    Wf_c = Sk + _QBLOCK   # c2p window width
+    Wf_p = Sq + _QBLOCK   # p2c window width
+
+    # content→content scores
+    s_scr[...] = _bdot(q, k, 2, 2)  # [G, Sq, Sk] f32
+
+    # c2p: bias[q, c] = q[q]·pos_k[bucket(q−c)]; table row u ↦ r = (Sq−1)−u.
+    # Window for q-rows [qj, qj+128): off = Sq − 128 − qj; after the matmul,
+    # entry [r, w] holds rel = (qj + r) − (w − 127), so the skew extracts
+    # exactly rel = q_global − c.
+    for j in range(Sq // _QBLOCK):
+        qj = j * _QBLOCK
+        off = Sq - _QBLOCK - qj
+        qp = _bdot(q[:, qj : qj + _QBLOCK, :], tc_ref[:, off : off + Wf_c, :],
+                   2, 2)  # [G, 128, Wf_c]
+        s_scr[:, qj : qj + _QBLOCK, :] += _skew(qp, Sk, interpret)
+
+    # p2c: bias[q, c] = k[c]·pos_q[bucket(c−q)] — same structure with
+    # rows = keys (rel = k − q), accumulated transposed.
+    for j in range(Sk // _QBLOCK):
+        kj = j * _QBLOCK
+        off = Sk - _QBLOCK - kj
+        kp = _bdot(k[:, kj : kj + _QBLOCK, :], tp_ref[:, off : off + Wf_p, :],
+                   2, 2)  # [G, 128, Wf_p]
+        z = _skew(kp, Sq, interpret)           # [G, 128, Sq] = bias[k-rows, q]
+        s_scr[:, :, kj : kj + _QBLOCK] += jnp.swapaxes(z, 1, 2)
+
+    s = s_scr[...] * inv_scale
+    key_ok = mask_ref[0] > 0                   # [1, Sk] (stay ≥2-D on TPU)
+    s = jnp.where(key_ok[:, None, :] if key_ok.ndim == 2 else key_ok,
+                  s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    probs = (p / jnp.where(l == 0.0, 1.0, l)).astype(v.dtype)
+    o_ref[0] = _bdot(probs, v, 2, 1).astype(o_ref.dtype)  # [G, Sq, D]
+
+
+def build_rel_tables(pos_k, pos_q, Sq_p: int, Sk_p: int, span: int,
+                     max_position: int):
+    """Gather the bucketed position projections into relative-offset order.
+
+    pos_k/pos_q: [2·span, H, D] (key/query projections of the layer-normed
+    rel embeddings). Returns (Tc2p, Tp2c), each [H, W, D] with
+    W = Sq_p + Sk_p, ordered so that row u of Tc2p is pos_k[bucket((Sq_p−1)−u)]
+    (Tp2c likewise over rel = k − q, i.e. rows indexed from Sk_p−1 downward).
+    Rows outside the valid relative range are zeroed.
+    """
+    from ...models.deberta import log_bucket  # shared bucket map
+
+    W = Sq_p + Sk_p
+
+    def one(table, rows_max, rel_min, negate):
+        r = rows_max - np.arange(W)
+        b = log_bucket(r, span, max_position)
+        idx = np.clip((-b if negate else b) + span, 0, 2 * span - 1)
+        valid = (r >= rel_min) & (r <= rows_max)
+        t = jnp.take(table, jnp.asarray(idx), axis=0)
+        return t * jnp.asarray(valid, t.dtype)[:, None, None]
+
+    # c2p[q,k] = q[q]·pos_k[clip(bucket(q−k)+span)]: rows=q, rel = q−k.
+    t_c2p = one(pos_k, Sq_p - 1, -(Sk_p - 1), negate=False)
+    # p2c[q,k] = k[k]·pos_q[clip(bucket(q−k)+span)] (HF DebertaV2's
+    # p2c_pos = clamp(−rel+span) applied at [k,q] then transposed): computed
+    # with rows=k so the row−col rel is k−q = −(q−k) → negate the bucket.
+    t_p2c = one(pos_q, Sk_p - 1, -(Sq_p - 1), negate=True)
+    # [W, H, D] → [H, W, D] (kernel blocks over heads)
+    return jnp.swapaxes(t_c2p, 0, 1), jnp.swapaxes(t_p2c, 0, 1)
+
+
+def _fused_call(q, k, v, t_c2p, t_p2c, mask, inv_scale, interpret):
+    """All operands padded: q/k/v [B, H, S*, D]; tables [H, W, D];
+    mask [B, Sk_p] int32. Returns [B, H, Sq_p, D]."""
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    G = _head_group(H, Sq, Sk, D, q.dtype.itemsize)
+    grid = (B, H // G)
+    kernel = functools.partial(_kernel, inv_scale=inv_scale,
+                               interpret=interpret)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, G, Sq, D), lambda b, g: (b, g, 0, 0)),
+            pl.BlockSpec((1, G, Sk, D), lambda b, g: (b, g, 0, 0)),
+            pl.BlockSpec((1, G, Sk, D), lambda b, g: (b, g, 0, 0)),
+            pl.BlockSpec((G, Sq + Sk, D), lambda b, g: (g, 0, 0)),
+            pl.BlockSpec((G, Sq + Sk, D), lambda b, g: (g, 0, 0)),
+            # mask ships as [B, 1, Sk]: a (1, 1, Sk) block keeps the last two
+            # dims equal to the array dims (TPU tiling rule for odd shapes)
+            pl.BlockSpec((1, 1, Sk), lambda b, g: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, G, Sq, D), lambda b, g: (b, g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((G, Sq, Sk), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, t_c2p, t_p2c, mask[:, None, :])
+
+
+def _xla_reference(q, k, v, t_c2p, t_p2c, mask, inv_scale):
+    """Same math in plain XLA (rel-shift skew as pad/reshape/slice).
+
+    Ground truth for kernel tests and the backward path of the custom VJP.
+    Materializes [B, H, S, S] tensors — correct, not fast (the round-2
+    rel-shift study measured exactly this shape of code bandwidth-bound).
+    """
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+
+    def skew(x, n_cols):
+        # x [B, H, R, W] → y[..., r, c] = x[..., r, c + (R-1) - r]
+        b, h, R, W = x.shape
+        flat = x.reshape(b, h, R * W)
+        resh = flat[:, :, : R * (W - 1)].reshape(b, h, R, W - 1)
+        return resh[:, :, :, R - 1 : R - 1 + n_cols]
+
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    qp = jnp.einsum("bhqd,hwd->bhqw", q, t_c2p,
+                    preferred_element_type=jnp.float32)
+    s = s + skew(qp, Sk)
+    kp = jnp.einsum("bhkd,hwd->bhkw", k, t_p2c,
+                    preferred_element_type=jnp.float32)
+    s = s + jnp.swapaxes(skew(kp, Sq), 2, 3)
+    s = s * inv_scale
+    s = jnp.where(mask[:, None, None, :] > 0, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    probs = (p / jnp.where(l == 0.0, 1.0, l)).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _attn(q, k, v, t_c2p, t_p2c, mask, inv_scale, interpret):
+    return _fused_call(q, k, v, t_c2p, t_p2c, mask, inv_scale, interpret)
+
+
+def _attn_fwd(q, k, v, t_c2p, t_p2c, mask, inv_scale, interpret):
+    out = _fused_call(q, k, v, t_c2p, t_p2c, mask, inv_scale, interpret)
+    return out, (q, k, v, t_c2p, t_p2c, mask)
+
+
+def _attn_bwd(inv_scale, interpret, res, g):
+    q, k, v, t_c2p, t_p2c, mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, tc_, tp_: _xla_reference(
+            q_, k_, v_, tc_, tp_, mask, inv_scale),
+        q, k, v, t_c2p, t_p2c,
+    )
+    dq, dk, dv, dtc, dtp = vjp(g)
+    dmask = np.zeros(mask.shape, jax.dtypes.float0)
+    return dq, dk, dv, dtc, dtp, dmask
+
+
+_attn.defvjp(_attn_fwd, _attn_bwd)
+
+
+def fused_viable(S: int, H: int, D: int, itemsize: int = 2) -> bool:
+    """True when the fused kernel's per-program buffers can fit VMEM (the
+    whole padded sequence is resident; covers every reference length)."""
+    Sp = _round_up(max(S, _QBLOCK), _QBLOCK)
+    # G=1 worst case must fit
+    return Sp * Sp * 4 + 2 * (2 * Sp) * D * itemsize * 2 <= _VMEM_BUDGET
+
+
+def deberta_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    pos_k: jnp.ndarray,
+    pos_q: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray],
+    span: int,
+    max_position: int,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused disentangled attention.
+
+    q/k/v: [B, S, H, D] (module layout); pos_k/pos_q: [2·span, H·D] or
+    [2·span, H, D] key/query projections of the rel embeddings;
+    attention_mask: [B, S] (1 = attend) or None. Returns [B, S, H, D].
+    Applies the reference's 1/√(3·D) scaling internally.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, S, H, D = q.shape
+    Sp = _round_up(max(S, _QBLOCK), _QBLOCK)
+    inv_scale = float(1.0 / np.sqrt(D * 3.0))
+
+    pos_k = pos_k.reshape(2 * span, H, D)
+    pos_q = pos_q.reshape(2 * span, H, D)
+    t_c2p, t_p2c = build_rel_tables(pos_k, pos_q, Sp, Sp, span, max_position)
+
+    if attention_mask is None:
+        attention_mask = jnp.ones((B, S), jnp.int32)
+    mask = attention_mask.astype(jnp.int32)
+    if Sp != S:
+        pad = Sp - S
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    out = _attn(qt, kt, vt, t_c2p.astype(q.dtype), t_p2c.astype(q.dtype),
+                mask, inv_scale, interpret)
+    return jnp.swapaxes(out[:, :, :S, :], 1, 2)

@@ -81,11 +81,16 @@ def param_partition_spec(path_keys, value) -> P:
     """
     parent = path_keys[-2] if len(path_keys) >= 2 else ""
     leaf = path_keys[-1]
+    # Encoder transformer layers are nn.scan-stacked: their kernels carry a
+    # leading [num_layers] axis (path …/layers/<name>/kernel, ndim 3). The
+    # layer axis itself is never sharded — TP splits the same in/out dims,
+    # shifted right by one.
+    stacked = "layers" in path_keys
     if leaf == "kernel" and value.ndim == 4 and parent == "patch_embed":
         return P(None, None, None, "model")
     if leaf == "embedding" and parent == "word_embeddings":
         return P("model", None)
-    if value.ndim != 2:
+    if value.ndim != (3 if stacked else 2):
         return P()
     if leaf.startswith("w_ih"):
         return P("model", None)
@@ -96,9 +101,9 @@ def param_partition_spec(path_keys, value) -> P:
                    "output_dense", "ffn_3")
     if leaf == "kernel":
         if parent in col_markers:
-            return P(None, "model")
+            return P(None, None, "model") if stacked else P(None, "model")
         if parent in row_markers:
-            return P("model", None)
+            return P(None, "model", None) if stacked else P("model", None)
     return P()
 
 

@@ -141,9 +141,30 @@ class AdvancedTrainer:
                 if not isinstance(
                     restored_opt, type(state.opt_state)
                 ):  # pre-fingerprint checkpoint: raw dicts, pair by leaf order
+                    live_leaves = jax.tree_util.tree_leaves(state.opt_state)
+                    ckpt_leaves = jax.tree_util.tree_leaves(restored_opt)
+                    # Guard the blind unflatten: equal leaf COUNT from a
+                    # different optimizer chain would silently mispair Adam
+                    # moments. Shapes/dtypes must match positionally too.
+                    if len(ckpt_leaves) != len(live_leaves):
+                        raise ValueError(
+                            f"Checkpoint optimizer state has {len(ckpt_leaves)} "
+                            f"leaves but the live optimizer expects "
+                            f"{len(live_leaves)}; refusing order-based restore "
+                            f"(was the optimizer config changed?)"
+                        )
+                    for i, (c, l) in enumerate(zip(ckpt_leaves, live_leaves)):
+                        c_shape = tuple(getattr(c, "shape", ()))
+                        l_shape = tuple(getattr(l, "shape", ()))
+                        if c_shape != l_shape:
+                            raise ValueError(
+                                f"Checkpoint optimizer leaf {i} has shape "
+                                f"{c_shape} but the live optimizer expects "
+                                f"{l_shape}; refusing order-based restore"
+                            )
                     restored_opt = jax.tree_util.tree_unflatten(
                         jax.tree_util.tree_structure(state.opt_state),
-                        jax.tree_util.tree_leaves(restored_opt),
+                        ckpt_leaves,
                     )
                 if self.mesh.size > 1:
                     # moment subtrees mirror param paths, so the same TP rules
