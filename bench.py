@@ -53,16 +53,22 @@ def measure_preprocessing(cfg, n_clips: int = 4):
 
 
 def measure_e2e_pipelined(cfg, forward, params, batch_size, sync,
-                          n_per_emotion=3, duration=10.0):
+                          n_per_emotion=6, duration=10.0, trials=3):
     """MEASURED end-to-end clips/s: drive real decoded batches through
     ``prefetch_to_device`` into the jitted forward and time the pipelined
-    loop (host decode + H2D transfer overlap device compute). Returns rates
-    for cold decode (no sidecar cache, the reference's every-epoch behavior)
-    and warm cache."""
+    loop (host decode + H2D transfer overlap device compute).
+
+    Runs ``trials`` timed passes per mode and reports median/best/all plus
+    which transfer path executed — a single pass through the tunnel is at
+    the mercy of link weather (round 2 recorded warm 7.2 < cold 19.8 from
+    exactly that). One untimed warmup pass per mode flushes compile/dispatch
+    ramp state out of the first trial.
+
+    Modes: "cold" bypasses the decode sidecar cache entirely (every
+    __getitem__ decodes from media — the reference's per-epoch behavior);
+    "warm" reads the .npy sidecars (steady state after epoch 1)."""
     import shutil
     import tempfile
-
-    import jax
 
     from simple_multimodal_tpu.data import (
         create_dataloader,
@@ -81,13 +87,10 @@ def measure_e2e_pipelined(cfg, forward, params, batch_size, sync,
         for i in range(len(ds)):
             ds[i]
         for mode, cache in (("warm", True), ("cold", False)):
-            # cache_decoded=False bypasses the sidecars entirely: every
-            # __getitem__ decodes from media, the reference's per-epoch cost
             ds = get_dataset("sample", tmp, "train", cfg)
             ds.cache_decoded = cache
             loader = create_dataloader(ds, batch_size=batch_size,
                                        shuffle=False)
-            # one warmup batch so compile time stays out of the timing
             first = next(iter(loader))
             sync(forward(params, first["text"], first["audio"],
                          first["video"]))
@@ -104,13 +107,27 @@ def measure_e2e_pipelined(cfg, forward, params, batch_size, sync,
                 sync(out)  # drain the async pipeline before the clock stops
                 return clips / (time.time() - t0)
 
-            try:
-                rates[mode] = run(background=True)
-            except Exception:
-                # tunneled/virtualized runtimes occasionally reject
-                # device_puts issued from the producer thread; retry with
-                # transfers on the main thread (still async-dispatched)
-                rates[mode] = run(background=False)
+            def run_any():
+                try:
+                    return run(background=True), "background-thread"
+                except Exception:
+                    # tunneled/virtualized runtimes occasionally reject
+                    # device_puts issued from the producer thread; retry
+                    # with transfers on the main thread (still async)
+                    return run(background=False), "main-thread"
+
+            run_any()  # warmup pass, untimed
+            samples, paths = [], []
+            for _ in range(trials):
+                r, path = run_any()
+                samples.append(r)
+                paths.append(path)
+            rates[mode] = {
+                "median": float(np.median(samples)),
+                "best": float(max(samples)),
+                "trials": [round(float(r), 3) for r in samples],
+                "transfer_path": paths,
+            }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return rates
@@ -399,9 +416,10 @@ def main():
     if not args.skip_preprocessing:
         try:
             e2e = measure_e2e_pipelined(cfg, forward, params, B, sync)
-            detail["e2e_clips_per_sec_warm_cache"] = e2e["warm"]
-            detail["e2e_clips_per_sec_cold_decode"] = e2e["cold"]
-            e2e_clips_per_sec = e2e["warm"]
+            detail["e2e_clips_per_sec_warm_cache"] = e2e["warm"]["median"]
+            detail["e2e_clips_per_sec_cold_decode"] = e2e["cold"]["median"]
+            detail["e2e_detail"] = e2e
+            e2e_clips_per_sec = e2e["warm"]["median"]
         except Exception as e:
             import traceback
 

@@ -18,13 +18,14 @@ tile in VMEM:
 2.  In-kernel, per 128-row block: one MXU matmul against a static window of
     the table gives ``x[r, w] = row_r · T[off + w]``; the bias tile
     ``y[r, c] = x[r, c + 127 - r]`` is a Toeplitz (diagonal-band) extraction.
-3.  The extraction runs as a *binary-decomposed per-row circular roll*:
-    7 static ``pltpu.roll`` passes gated by the bits of the row index, then a
-    static slice. Measured on-chip: the 9-pass/512-row variant costs <9 µs —
+3.  The extraction runs as a *binary-decomposed per-column circular roll
+    down the sublane axis*: 7 static ``pltpu.roll`` passes gated by the bits
+    of a column iota, then a static slice. Alternatives measured on-chip:
     reshape-based skews and per-row dynamic slices do NOT lower in Mosaic
-    (both rejected by the compiler; see RESULTS.md round 3).
-4.  p2c is the same structure with rows=keys (rel = k − q); its [G, 128, Sq]
-    tiles are transposed in VMEM (also measured ~free) and accumulated.
+    (compiler-rejected); per-row LANE rolls lower but are ~2× slower than
+    the sublane form; rolls only exist for 32-bit data. See RESULTS.md.
+4.  c2p's column tiles land transposed and pay one VMEM swapaxes per
+    128-column block (~free); p2c's land in [q, k] orientation directly.
 
 The only HBM traffic is q/k/v/out + the small tables: ~50 MB/layer vs
 ~600 MB/layer for the XLA path.
@@ -64,33 +65,42 @@ def _head_group(H, Sq, Sk, D, itemsize) -> int:
         qkv = 3 * g * max(Sq, Sk) * D * itemsize * 2  # double-buffered
         tables = 2 * g * W * D * itemsize * 2
         scores = g * Sq * Sk * 4  # f32 scratch
-        windows = 3 * g * _QBLOCK * (Sk + _QBLOCK) * 4  # skew temps (live set)
+        # skew temps: [G, W*, 128] f32 column tiles (a few live at once)
+        windows = 3 * g * (max(Sq, Sk) + _QBLOCK) * _QBLOCK * 4
         if qkv + tables + scores + windows <= _VMEM_BUDGET:
             return g
     return 1
 
 
-def _skew(x, n_cols, interpret):
-    """x [G, R, W] → y [G, R, n_cols] with y[g, r, c] = x[g, r, c + (R-1) - r].
+def _skew_cols(x, n_rows, interpret):
+    """x [G, W, C] → y [G, n_rows, C] with y[g, r, c] = x[g, r + (C-1) - c, c].
 
-    Per-row circular roll RIGHT by the row index (binary-decomposed static
-    rolls — Mosaic supports only static shifts), then a static lane slice:
-    rolled[g, r, w] = x[g, r, (w - r) mod W], so rolled[g, r, c + R - 1]
-    = x[g, r, c + (R-1) - r] for c + R - 1 - r ≥ 0, which holds ∀c,r.
+    Toeplitz band extraction as a per-COLUMN circular roll down the SUBLANE
+    axis by the column index (binary-decomposed static ``pltpu.roll`` passes
+    gated by the bits of a column iota — Mosaic supports only static
+    shifts), then a static sublane slice: rolled[g, w, c] =
+    x[g, (w - c) mod W, c], so rolled[g, r + C - 1, c] = x[g, r + C-1 - c, c]
+    (index ≥ 0 ∀ r,c — no wraparound contamination).
+
+    Measured v5e note: sublane rolls on the [G, W, 128] column-tile layout
+    beat the equivalent per-row LANE rolls on [G, 128, W] by ~2× in the full
+    kernel (0.54 vs 0.77+ ms/layer at base dims) — and only 32-bit data can
+    rotate (Mosaic: "Rotate with non-32-bit data" is unimplemented), so the
+    skew runs on the f32 accumulators.
     """
-    G, R, W = x.shape
-    rows = jax.lax.broadcasted_iota(jnp.int32, (G, R, W), 1)
+    G, W, C = x.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, (G, W, C), 2)
     bits = 0
-    while (1 << bits) < R:
+    while (1 << bits) < C:
         bits += 1
     for b in range(bits):
         sh = 1 << b
         if interpret:
-            rolled = jnp.roll(x, sh, axis=-1)
+            rolled = jnp.roll(x, sh, axis=1)
         else:
-            rolled = pltpu.roll(x, sh, 2)
-        x = jnp.where((rows & sh) != 0, rolled, x)
-    return x[:, :, R - 1 : R - 1 + n_cols]
+            rolled = pltpu.roll(x, sh, 1)
+        x = jnp.where((cols & sh) != 0, rolled, x)
+    return x[:, C - 1 : C - 1 + n_rows, :]
 
 
 def _bdot(a, b, contract_a, contract_b):
@@ -114,26 +124,30 @@ def _kernel(q_ref, k_ref, v_ref, tc_ref, tp_ref, mask_ref, o_ref, s_scr,
     # content→content scores
     s_scr[...] = _bdot(q, k, 2, 2)  # [G, Sq, Sk] f32
 
-    # c2p: bias[q, c] = q[q]·pos_k[bucket(q−c)]; table row u ↦ r = (Sq−1)−u.
-    # Window for q-rows [qj, qj+128): off = Sq − 128 − qj; after the matmul,
-    # entry [r, w] holds rel = (qj + r) − (w − 127), so the skew extracts
-    # exactly rel = q_global − c.
+    # Both bias terms run as table-major matmuls ([G, W, D]·[G, 128, D]ᵀ →
+    # [G, W, 128] column tiles) followed by the sublane skew. With window
+    # offset off = S − 128 − j·128 and tables ordered T[u] =
+    # pos[clip(span + bucket((S−1) − u))], the skew picks exactly
+    # rel = q − k for c2p and rel = k − q (negated table) for p2c.
+
+    # c2p: bias[q, c] = q[q]·pos_k[clip(b(q−c)+span)]. The column tile comes
+    # out transposed ([G, Sk, 128-q-cols]) — one VMEM swapaxes per block.
     for j in range(Sq // _QBLOCK):
         qj = j * _QBLOCK
         off = Sq - _QBLOCK - qj
-        qp = _bdot(q[:, qj : qj + _QBLOCK, :], tc_ref[:, off : off + Wf_c, :],
-                   2, 2)  # [G, 128, Wf_c]
-        s_scr[:, qj : qj + _QBLOCK, :] += _skew(qp, Sk, interpret)
+        qpT = _bdot(tc_ref[:, off : off + Wf_c, :], q[:, qj : qj + _QBLOCK, :],
+                    2, 2)  # [G, Wf_c, 128]
+        yT = _skew_cols(qpT, Sk, interpret)    # [G, Sk, 128] = c2pᵀ block
+        s_scr[:, qj : qj + _QBLOCK, :] += jnp.swapaxes(yT, 1, 2)
 
-    # p2c: bias[q, c] = k[c]·pos_q[bucket(c−q)] — same structure with
-    # rows = keys (rel = k − q), accumulated transposed.
+    # p2c: bias[q, c] = k[c]·pos_q[clip(b(q−c)+span)] — key-major columns
+    # land directly in [q, k] orientation, no transpose.
     for j in range(Sk // _QBLOCK):
         kj = j * _QBLOCK
         off = Sk - _QBLOCK - kj
-        kp = _bdot(k[:, kj : kj + _QBLOCK, :], tp_ref[:, off : off + Wf_p, :],
-                   2, 2)  # [G, 128, Wf_p]
-        z = _skew(kp, Sq, interpret)           # [G, 128, Sq] = bias[k-rows, q]
-        s_scr[:, :, kj : kj + _QBLOCK] += jnp.swapaxes(z, 1, 2)
+        kpT = _bdot(tp_ref[:, off : off + Wf_p, :], k[:, kj : kj + _QBLOCK, :],
+                    2, 2)  # [G, Wf_p, 128]
+        s_scr[:, :, kj : kj + _QBLOCK] += _skew_cols(kpT, Sq, interpret)
 
     s = s_scr[...] * inv_scale
     key_ok = mask_ref[0] > 0                   # [1, Sk] (stay ≥2-D on TPU)
