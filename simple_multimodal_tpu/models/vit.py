@@ -68,31 +68,46 @@ class ViTLayer(nn.Module):
 
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="layernorm_before")(hidden)
-        q = nn.Dense(E, dtype=self.dtype, name="query")(x).reshape(B, S, H, D)
-        k = nn.Dense(E, dtype=self.dtype, name="key")(x).reshape(B, S, H, D)
-        v = nn.Dense(E, dtype=self.dtype, name="value")(x).reshape(B, S, H, D)
-        # v5e-measured: flash wins ISOLATED at S=197 (6.6 vs 7.0 ms) but
-        # loses in-context (full model 42.8 vs 50.4 clips/s) — XLA fuses the
-        # einsum path with surrounding projections and the custom call's
-        # layout constraints cost transposes. XLA keeps the bench shapes;
-        # flash takes over where probs traffic grows quadratic (S > 512).
-        if (cfg.use_flash and S > 512
-                and (deterministic or cfg.attention_dropout == 0.0)):
-            from ..ops.pallas.flash_attention import flash_attention
+        # Attention routing (v5e-measured, round 3): per-op attention
+        # kernels LOSE in-context at these shapes regardless of their inner
+        # speed — the custom call forces [B, S, H, D] q/k/v/out tensors to
+        # materialize in HBM (an *identity* kernel cost +38 ms on the
+        # 240-frame forward). The block kernel fuses qkv-projection +
+        # attention + out-projection with natural [B, S, E] I/O instead.
+        from ..ops.attention import DenseParams
+        from ..ops.pallas.attention_block import attention_block, block_viable
 
-            # fused streaming-softmax attention: no [B*T, H, S, S] probs in
-            # HBM across the 12-layer x 30-frame stack (fwd and bwd)
-            ctx = flash_attention(q, k, v)
+        fused_ok = (cfg.use_flash
+                    and (deterministic or cfg.attention_dropout == 0.0))
+        if fused_ok and H * D == E and block_viable(S, H, D, E):
+            wq, bq = DenseParams(E, name="query")(E)
+            wk, bk = DenseParams(E, name="key")(E)
+            wv, bv = DenseParams(E, name="value")(E)
+            wo, bo = DenseParams(E, name="attn_output")(E)
+            attn = attention_block(
+                x, wq.astype(self.dtype), bq.astype(self.dtype),
+                wk.astype(self.dtype), bk.astype(self.dtype),
+                wv.astype(self.dtype), bv.astype(self.dtype),
+                wo.astype(self.dtype), bo.astype(self.dtype), num_heads=H,
+            )
         else:
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                                preferred_element_type=jnp.float32) * (D ** -0.5)
-            scores = compact_scores(scores, self.dtype)
-            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-            probs = nn.Dropout(cfg.attention_dropout)(probs,
-                                                      deterministic=deterministic)
-            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                             preferred_element_type=jnp.float32).astype(self.dtype)
-        attn = nn.Dense(E, dtype=self.dtype, name="attn_output")(ctx.reshape(B, S, E))
+            q = nn.Dense(E, dtype=self.dtype, name="query")(x).reshape(B, S, H, D)
+            k = nn.Dense(E, dtype=self.dtype, name="key")(x).reshape(B, S, H, D)
+            v = nn.Dense(E, dtype=self.dtype, name="value")(x).reshape(B, S, H, D)
+            if fused_ok and S > 512:
+                from ..ops.pallas.flash_attention import flash_attention
+
+                ctx = flash_attention(q, k, v)
+            else:
+                scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                    preferred_element_type=jnp.float32) * (D ** -0.5)
+                scores = compact_scores(scores, self.dtype)
+                probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+                probs = nn.Dropout(cfg.attention_dropout)(probs,
+                                                          deterministic=deterministic)
+                ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                                 preferred_element_type=jnp.float32).astype(self.dtype)
+            attn = nn.Dense(E, dtype=self.dtype, name="attn_output")(ctx.reshape(B, S, E))
         attn = nn.Dropout(cfg.hidden_dropout)(attn, deterministic=deterministic)
         hidden = hidden + attn
 

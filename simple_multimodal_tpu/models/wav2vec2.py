@@ -152,29 +152,46 @@ class Wav2Vec2EncoderLayer(nn.Module):
         D = E // H
         B, S, _ = hidden.shape
 
-        q = nn.Dense(E, dtype=self.dtype, name="q_proj")(hidden)
-        k = nn.Dense(E, dtype=self.dtype, name="k_proj")(hidden)
-        v = nn.Dense(E, dtype=self.dtype, name="v_proj")(hidden)
-        q = q.reshape(B, S, H, D)
-        k = k.reshape(B, S, H, D)
-        v = v.reshape(B, S, H, D)
-        # v5e-measured: in-context XLA wins at the 499-frame audio length
-        # (see vit.py note); flash engages beyond 512
-        if (cfg.use_flash and S > 512
-                and (deterministic or cfg.attention_dropout == 0.0)):
-            from ..ops.pallas.flash_attention import flash_attention
+        # Attention routing: the fully-fused block kernel (qkv-proj +
+        # softmax(QKᵀ)V + out-proj, natural [B, S, E] I/O) — per-op kernels
+        # lose in-context to their own operand materialization (vit.py note).
+        from ..ops.attention import DenseParams
+        from ..ops.pallas.attention_block import attention_block, block_viable
 
-            ctx = flash_attention(q, k, v)  # applies the 1/sqrt(D) scale
+        fused_ok = (cfg.use_flash
+                    and (deterministic or cfg.attention_dropout == 0.0))
+        if fused_ok and H * D == E and block_viable(S, H, D, E):
+            wq, bq = DenseParams(E, name="q_proj")(E)
+            wk, bk = DenseParams(E, name="k_proj")(E)
+            wv, bv = DenseParams(E, name="v_proj")(E)
+            wo, bo = DenseParams(E, name="out_proj")(E)
+            attn = attention_block(
+                hidden, wq.astype(self.dtype), bq.astype(self.dtype),
+                wk.astype(self.dtype), bk.astype(self.dtype),
+                wv.astype(self.dtype), bv.astype(self.dtype),
+                wo.astype(self.dtype), bo.astype(self.dtype), num_heads=H,
+            )
         else:
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q * (D ** -0.5), k,
-                                preferred_element_type=jnp.float32)
-            scores = compact_scores(scores, self.dtype)
-            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-            probs = nn.Dropout(cfg.attention_dropout)(probs,
-                                                      deterministic=deterministic)
-            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                             preferred_element_type=jnp.float32).astype(self.dtype)
-        attn = nn.Dense(E, dtype=self.dtype, name="out_proj")(ctx.reshape(B, S, E))
+            q = nn.Dense(E, dtype=self.dtype, name="q_proj")(hidden)
+            k = nn.Dense(E, dtype=self.dtype, name="k_proj")(hidden)
+            v = nn.Dense(E, dtype=self.dtype, name="v_proj")(hidden)
+            q = q.reshape(B, S, H, D)
+            k = k.reshape(B, S, H, D)
+            v = v.reshape(B, S, H, D)
+            if fused_ok and S > 512:
+                from ..ops.pallas.flash_attention import flash_attention
+
+                ctx = flash_attention(q, k, v)
+            else:
+                scores = jnp.einsum("bqhd,bkhd->bhqk", q * (D ** -0.5), k,
+                                    preferred_element_type=jnp.float32)
+                scores = compact_scores(scores, self.dtype)
+                probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+                probs = nn.Dropout(cfg.attention_dropout)(probs,
+                                                          deterministic=deterministic)
+                ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                                 preferred_element_type=jnp.float32).astype(self.dtype)
+            attn = nn.Dense(E, dtype=self.dtype, name="out_proj")(ctx.reshape(B, S, E))
         attn = nn.Dropout(cfg.hidden_dropout)(attn, deterministic=deterministic)
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                               name="layer_norm")(hidden + attn)

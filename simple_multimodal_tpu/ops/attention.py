@@ -50,19 +50,36 @@ def gelu(x: jnp.ndarray, dtype) -> jnp.ndarray:
 def use_flash_attention(config) -> bool:
     """Resolve a ModelConfig's flash_attention flag.
 
-    "auto" → on for a single-chip TPU run (the Pallas kernel is not yet
-    wrapped for SPMD partitioning, and interpret mode on CPU is only for
-    tests); True/False force it.
+    "auto" → on for TPU backends regardless of mesh size: the kernels
+    shard_map themselves over the ambient mesh (ops/pallas/spmd.py), so
+    multi-chip no longer disables them. On CPU the kernels would run in
+    interpreter mode (tests only) — auto stays off there. True/False force.
     """
     fa = getattr(config, "flash_attention", "auto")
     if isinstance(fa, str):
         if fa != "auto":
             return fa.lower() in ("1", "true", "yes", "on")
-        d, m = getattr(config, "mesh_shape", (1, 1))
-        if d == -1:  # make_mesh fill syntax: data axis takes all devices
-            d = max(jax.device_count() // m, 1)
-        return jax.default_backend() == "tpu" and d * m == 1
+        return jax.default_backend() == "tpu"
     return bool(fa)
+
+
+class DenseParams(nn.Module):
+    """Creates the exact parameter tree of an ``nn.Dense`` (kernel + bias,
+    same names/inits) WITHOUT computing the matmul — for layers that hand
+    their projection weights to a fused Pallas kernel instead of calling
+    the Dense. Swapping a Dense call for DenseParams keeps checkpoints and
+    converted torch weights byte-compatible."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.linear.default_kernel_init,
+            (in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 class MultiHeadAttention(nn.Module):
@@ -89,6 +106,38 @@ class MultiHeadAttention(nn.Module):
         B, Q = query.shape[0], query.shape[1]
         K = key.shape[1]
 
+        fused_ok = (
+            self.use_flash
+            and not need_weights  # else probs must materialize anyway
+            and mask is None
+            and (self.dropout == 0.0 or deterministic)
+        )
+        from .pallas.attention_block import block_viable
+
+        # Fully-fused attention block for the self-attention sites (the
+        # audio temporal / video facial attentions, encoders.py:126-131,
+        # 193-198): projections + softmax + out-projection in one kernel,
+        # [B, S, E] I/O. Per-op attention kernels were measured to LOSE
+        # in-context to their own [B,H,S,S]-operand materialization (see
+        # ops/pallas/attention_block.py). Q >= 128 gates out the tiny
+        # fusion-token attentions where kernel dispatch dominates.
+        use_block = (fused_ok and query is key and key is value
+                     and Q >= 128 and block_viable(Q, H, Dh, E))
+        if use_block:
+            wq, bq = DenseParams(E, name="q_proj")(E)
+            wk, bk = DenseParams(E, name="k_proj")(E)
+            wv, bv = DenseParams(E, name="v_proj")(E)
+            wo, bo = DenseParams(E, name="out_proj")(E)
+            from .pallas.attention_block import attention_block
+
+            out = attention_block(
+                query, wq.astype(self.dtype), bq.astype(self.dtype),
+                wk.astype(self.dtype), bk.astype(self.dtype),
+                wv.astype(self.dtype), bv.astype(self.dtype),
+                wo.astype(self.dtype), bo.astype(self.dtype), num_heads=H,
+            )
+            return out, None
+
         q = nn.Dense(E, dtype=self.dtype, name="q_proj")(query)
         k = nn.Dense(E, dtype=self.dtype, name="k_proj")(key)
         v = nn.Dense(E, dtype=self.dtype, name="v_proj")(value)
@@ -96,17 +145,7 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(B, K, H, Dh)
         v = v.reshape(B, K, H, Dh)
 
-        use_flash = (
-            self.use_flash
-            and not need_weights  # else probs must materialize anyway
-            and mask is None
-            and (self.dropout == 0.0 or deterministic)
-            # v5e-measured: XLA's fused einsum path wins in-context at
-            # every reference sequence length (see models/vit.py note);
-            # flash engages for long sequences where the materialized
-            # [B,H,Q,K] probs traffic grows quadratic.
-            and Q > 512 and K > 512
-        )
+        use_flash = fused_ok and Q > 512 and K > 512
         probs = None
         if use_flash:
             from .pallas.flash_attention import flash_attention

@@ -329,6 +329,31 @@ def deberta_attention(
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
-    out = _attn(qt, kt, vt, t_c2p.astype(q.dtype), t_p2c.astype(q.dtype),
-                mask, inv_scale, interpret)
+    tc = t_c2p.astype(q.dtype)
+    tp = t_p2c.astype(q.dtype)
+
+    # SPMD: shard_map over the ambient mesh (batch → 'data', heads →
+    # 'model', tables head-sharded, mask batch-sharded). A pallas_call has
+    # no XLA partitioning rule; the table cotangents are psum-reduced over
+    # 'data' by shard_map's transpose automatically.
+    from .spmd import resolve_mesh
+
+    mesh, fallback = resolve_mesh(B, H)
+    if fallback:
+        out = _xla_reference(qt, kt, vt, tc, tp, mask, inv_scale)
+    elif mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        bhsd = P("data", "model", None, None)
+        out = shard_map(
+            lambda q_, k_, v_, tc_, tp_, m_: _attn(q_, k_, v_, tc_, tp_, m_,
+                                                   inv_scale, interpret),
+            mesh=mesh,
+            in_specs=(bhsd, bhsd, bhsd, P("model", None, None),
+                      P("model", None, None), P("data", None)),
+            out_specs=bhsd, check_vma=False,
+        )(qt, kt, vt, tc, tp, mask)
+    else:
+        out = _attn(qt, kt, vt, tc, tp, mask, inv_scale, interpret)
     return jnp.swapaxes(out[:, :, :S, :], 1, 2)

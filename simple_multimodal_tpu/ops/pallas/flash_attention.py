@@ -402,6 +402,48 @@ def flash_attention(
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
 
+    # SPMD: under an ambient multi-device mesh, recurse inside a shard_map
+    # (batch over 'data', heads over 'model') — a pallas_call has no XLA
+    # partitioning rule. The ambient mesh is cleared inside the per-shard
+    # body so the recursion takes the single-device path.
+    from ...parallel.mesh import current_mesh, set_current_mesh
+    from .spmd import resolve_mesh
+
+    mesh, fallback = resolve_mesh(B, H)
+    if mesh is not None and not fallback:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        bshd = P("data", None, "model", None)
+
+        def unmeshed(fn):
+            def body(*args):
+                prev = current_mesh()
+                set_current_mesh(None)
+                try:
+                    return fn(*args)
+                finally:
+                    set_current_mesh(prev)
+            return body
+
+        if bias is None:
+            body = unmeshed(lambda q_, k_, v_: flash_attention(
+                q_, k_, v_, block_q=block_q, block_k=block_k,
+                interpret=interpret))
+            return shard_map(body, mesh=mesh, in_specs=(bshd,) * 3,
+                             out_specs=bshd, check_vma=False)(q, k, v)
+        # broadcastable biases must be materialized: shard_map needs the
+        # sharded dims to actually divide
+        bias_full = jnp.broadcast_to(bias, (B, H, Sq, Sk))
+        body = unmeshed(lambda q_, k_, v_, b_: flash_attention(
+            q_, k_, v_, bias=b_, block_q=block_q, block_k=block_k,
+            interpret=interpret))
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(bshd, bshd, bshd, P("data", "model", None, None)),
+            out_specs=bshd, check_vma=False,
+        )(q, k, v, bias_full)
+
     def pick_block(requested, S):
         if interpret:  # tests pass explicit small blocks; no lane padding
             return min(requested, max(S, 1))

@@ -22,6 +22,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_CURRENT_MESH: Optional[Mesh] = None
+
+
+def set_current_mesh(mesh: Optional[Mesh]) -> None:
+    """Register the ambient device mesh. The Pallas kernels consult this to
+    wrap themselves in ``shard_map`` (a pallas_call has no SPMD partitioning
+    rule, so under a >1 mesh it must be explicitly mapped: batch over
+    'data', heads over 'model'). Trainer / dryrun / serving set it once at
+    mesh construction; ``None`` (or a size-1 mesh) means no wrapping."""
+    global _CURRENT_MESH
+    _CURRENT_MESH = mesh
+
+
+def current_mesh() -> Optional[Mesh]:
+    return _CURRENT_MESH
+
+
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> None:
@@ -40,7 +57,9 @@ def make_mesh(mesh_shape: Tuple[int, int] = (1, 1),
         d = len(devices) // m
     n = d * m
     grid = np.array(devices[:n]).reshape(d, m)
-    return Mesh(grid, axis_names=("data", "model"))
+    mesh = Mesh(grid, axis_names=("data", "model"))
+    set_current_mesh(mesh)  # Pallas kernels shard_map over the ambient mesh
+    return mesh
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -63,3 +63,13 @@ def tiny_config(tmp_path_factory):
         save_path=str(base / "ckpt"),
         log_path=str(base / "logs"),
     )
+
+
+@pytest.fixture(autouse=True)
+def _reset_ambient_mesh():
+    """make_mesh registers an ambient mesh that the Pallas kernels
+    shard_map over; don't let one test's mesh leak into the next."""
+    yield
+    from simple_multimodal_tpu.parallel.mesh import set_current_mesh
+
+    set_current_mesh(None)

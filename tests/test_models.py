@@ -336,21 +336,25 @@ def test_bf16_mode_close_to_f32(cfg):
     assert np.abs(out16 - out32).max() < 0.15, (out16, out32)
 
 
-def test_use_flash_attention_resolves_mesh_fill_syntax():
-    """'auto' must treat mesh_shape=(-1, 1) on a single-device host as a
-    single-chip run (np.prod of the fill sentinel used to yield -1)."""
-    import dataclasses as dc
+def test_use_flash_attention_resolution(monkeypatch):
+    """'auto' follows the backend (kernels SPMD-wrap themselves, so the
+    mesh no longer matters); explicit strings/bools force."""
+    import jax as _jax
 
-    from simple_multimodal_tpu.ops.attention import use_flash_attention
+    from simple_multimodal_tpu.ops import attention as attn_mod
 
     class Cfg:
         flash_attention = "auto"
         mesh_shape = (-1, 1)
 
-    # CPU backend in tests → auto is False either way; the -1 resolution is
-    # what must not blow up or misreport multi-chip
-    assert use_flash_attention(Cfg()) in (False, True)
+    monkeypatch.setattr(_jax, "default_backend", lambda: "cpu")
+    assert attn_mod.use_flash_attention(Cfg()) is False
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    assert attn_mod.use_flash_attention(Cfg()) is True
+    Cfg.mesh_shape = (4, 2)  # multi-chip: auto stays on
+    assert attn_mod.use_flash_attention(Cfg()) is True
     Cfg.flash_attention = "true"
-    assert use_flash_attention(Cfg()) is True
+    monkeypatch.setattr(_jax, "default_backend", lambda: "cpu")
+    assert attn_mod.use_flash_attention(Cfg()) is True
     Cfg.flash_attention = False
-    assert use_flash_attention(Cfg()) is False
+    assert attn_mod.use_flash_attention(Cfg()) is False

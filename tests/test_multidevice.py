@@ -192,3 +192,95 @@ def test_trainer_dp_mesh(tiny_config, tmp_path_factory):
 
     if trainer.best_val_f1 > 0:
         assert os.path.exists(os.path.join(c.save_path, "best_model"))
+
+
+def test_spmd_kernels_eval_parity(setup):
+    """Pallas kernels forced on under a (4,2) mesh (shard_map over the
+    ambient mesh) match the single-device kernel outputs <= 1e-4."""
+    c, model, batch, params = setup
+    from simple_multimodal_tpu.parallel.mesh import (
+        batch_shardings, make_mesh, params_shardings, set_current_mesh,
+    )
+
+    c2 = dataclasses.replace(c)
+    c2.fusion_type = c.fusion_type  # attached post-init; replace drops it
+    c2.flash_attention = True
+    # batch of 8 so the (4,2) mesh divides it
+    batch8 = make_batch(c2, B=8, seed=9)
+    fl_model = MultimodalEmotionModel(c2)
+
+    set_current_mesh(None)  # single-device kernel path
+    ref = jax.jit(lambda p, t, a, v: fl_model.apply(p, t, a, v)[
+        "emotion_logits"])(params, batch8["text"], batch8["audio"],
+                          batch8["video"])
+    ref = np.asarray(ref)
+
+    mesh = make_mesh((4, 2))  # registers itself as ambient
+    p_sh = jax.device_put(params, params_shardings(mesh, params))
+    feats = {k: batch8[k] for k in ("text", "audio", "video")}
+    dev = jax.device_put(feats, batch_shardings(mesh, feats))
+    out = jax.jit(lambda p, t, a, v: fl_model.apply(p, t, a, v)[
+        "emotion_logits"])(p_sh, dev["text"], dev["audio"], dev["video"])
+    out = np.asarray(out)
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_spmd_attention_block_direct():
+    """attention_block under an ambient (4,2) mesh == no-mesh result."""
+    from simple_multimodal_tpu.ops.pallas.attention_block import (
+        attention_block,
+    )
+    from simple_multimodal_tpu.parallel.mesh import make_mesh, set_current_mesh
+
+    B, S, H, D = 8, 130, 2, 16
+    E = H * D
+    rng = np.random.default_rng(31)
+    x = rng.standard_normal((B, S, E)).astype(np.float32)
+    ws = [(rng.standard_normal((E, E)) * 0.1).astype(np.float32)
+          for _ in range(4)]
+    bs = [(rng.standard_normal((E,)) * 0.1).astype(np.float32)
+          for _ in range(4)]
+
+    def f(x):
+        return attention_block(x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+                               ws[3], bs[3], num_heads=H)
+
+    set_current_mesh(None)
+    ref = np.asarray(jax.jit(f)(x))
+    make_mesh((4, 2))
+    out = np.asarray(jax.jit(f)(x))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_spmd_deberta_attention_grads():
+    """Grads through the shard_mapped DeBERTa kernel (incl. psum-reduced
+    table cotangents) match the no-mesh grads."""
+    from simple_multimodal_tpu.ops.pallas.deberta_attention import (
+        deberta_attention,
+    )
+    from simple_multimodal_tpu.parallel.mesh import make_mesh, set_current_mesh
+
+    B, S, H, D, span = 8, 40, 2, 16, 16
+    rng = np.random.default_rng(32)
+    q = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    v = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    pos_k = rng.standard_normal((2 * span, H, D)).astype(np.float32)
+    pos_q = rng.standard_normal((2 * span, H, D)).astype(np.float32)
+    mask = np.ones((B, S), np.int32)
+    w = rng.standard_normal((B, S, H, D)).astype(np.float32)
+
+    def loss(q, k, v, pos_k, pos_q):
+        out = deberta_attention(q, k, v, pos_k, pos_q, mask, span=span,
+                                max_position=128)
+        return jnp.sum(out * w)
+
+    import jax.numpy as jnp  # noqa: F401 (used in loss)
+
+    set_current_mesh(None)
+    g_ref = jax.grad(loss, argnums=(0, 1, 3))(q, k, v, pos_k, pos_q)
+    make_mesh((4, 2))
+    g_mesh = jax.grad(loss, argnums=(0, 1, 3))(q, k, v, pos_k, pos_q)
+    for a, b in zip(g_mesh, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)

@@ -290,6 +290,124 @@ def test_deberta_model_fused_vs_onehot_path():
                                atol=2e-4, rtol=2e-3)
 
 
+def _block_args(B, S, H, D, seed=21):
+    E = H * D
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((B, S, E)).astype(np.float32)
+    ws = [(rng.standard_normal((E, E)) * 0.1).astype(np.float32)
+          for _ in range(4)]
+    bs = [(rng.standard_normal((E,)) * 0.1).astype(np.float32)
+          for _ in range(4)]
+    return x, ws, bs
+
+
+def _block_reference(x, ws, bs, H):
+    B, S, E = x.shape
+    D = E // H
+    q = (x @ ws[0] + bs[0]).reshape(B, S, H, D)
+    k = (x @ ws[1] + bs[1]).reshape(B, S, H, D)
+    v = (x @ ws[2] + bs[2]).reshape(B, S, H, D)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(D)
+    p = jax.nn.softmax(s, axis=-1)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, S, E)
+    return ctx @ ws[3] + bs[3]
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 128, 2, 32),      # aligned
+    (3, 197, 4, 16),      # ViT length: ragged lane padding
+    (1, 250, 2, 16),      # wav2vec2-ish length
+])
+def test_attention_block_matches_reference(shape):
+    """The fused qkv+attention+out-proj block kernel (masked-pair head
+    separation) reproduces the einsum attention block."""
+    from simple_multimodal_tpu.ops.pallas.attention_block import (
+        attention_block,
+    )
+
+    B, S, H, D = shape
+    x, ws, bs = _block_args(B, S, H, D)
+    out = attention_block(x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+                          ws[3], bs[3], num_heads=H, interpret=True)
+    ref = _block_reference(x, ws, bs, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-4)
+
+
+def test_attention_block_grads():
+    from simple_multimodal_tpu.ops.pallas.attention_block import (
+        attention_block,
+    )
+
+    B, S, H, D = 1, 150, 2, 16  # ragged: exercises the pad-trim VJP
+    x, ws, bs = _block_args(B, S, H, D, seed=22)
+    w_out = np.random.default_rng(23).standard_normal(x.shape).astype(np.float32)
+
+    def loss_fused(x, *wb):
+        out = attention_block(x, wb[0], wb[4], wb[1], wb[5], wb[2], wb[6],
+                              wb[3], wb[7], num_heads=H, interpret=True)
+        return jnp.sum(out * w_out)
+
+    def loss_ref(x, *wb):
+        return jnp.sum(_block_reference(x, wb[:4], wb[4:], H) * w_out)
+
+    args = (x, *ws, *bs)
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(9)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a).reshape(np.asarray(b).shape),
+                                   np.asarray(b), atol=5e-5, rtol=5e-4)
+
+
+@pytest.mark.parametrize("which", ["vit", "wav2vec2"])
+def test_encoder_layer_plain_fused_matches_xla_short_seq(which):
+    """At the real encoder lengths (ViT 197 / wav2vec2 499-ish) the
+    layout-preserving fused kernel must match the XLA einsum layer."""
+    import dataclasses as dc
+
+    rng = np.random.default_rng(23)
+    if which == "vit":
+        from simple_multimodal_tpu.models.vit import ViTConfig, ViTLayer
+
+        cfg = ViTConfig.tiny()
+        S = 197
+        make = lambda fl: ViTLayer(dc.replace(cfg, use_flash=fl))
+        E = cfg.hidden_size
+    else:
+        from simple_multimodal_tpu.models.wav2vec2 import (
+            Wav2Vec2Config,
+            Wav2Vec2EncoderLayer,
+        )
+
+        cfg = Wav2Vec2Config.tiny()
+        S = 250
+        make = lambda fl: Wav2Vec2EncoderLayer(dc.replace(cfg, use_flash=fl))
+        E = cfg.hidden_size
+    x = rng.standard_normal((2, S, E)).astype(np.float32)
+    m_xla, m_fl = make(False), make(True)
+    params = jax.jit(m_xla.init)(jax.random.PRNGKey(0), x)
+    ref = jax.jit(m_xla.apply)(params, x)
+    out = jax.jit(m_fl.apply)(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_mha_plain_fused_matches_einsum():
+    """MultiHeadAttention routes through the fused kernel when weights are
+    not requested; outputs must match the einsum path."""
+    from simple_multimodal_tpu.ops.attention import MultiHeadAttention
+
+    rng = np.random.default_rng(24)
+    x = rng.standard_normal((2, 197, 32)).astype(np.float32)
+    m_xla = MultiHeadAttention(32, 4, 0.0, use_flash=False)
+    m_fl = MultiHeadAttention(32, 4, 0.0, use_flash=True)
+    params = jax.jit(m_xla.init)(jax.random.PRNGKey(0), x, x, x)
+    ref, _ = jax.jit(lambda p: m_xla.apply(p, x, x, x, need_weights=False))(params)
+    out, _ = jax.jit(lambda p: m_fl.apply(p, x, x, x, need_weights=False))(params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-3)
+
+
 def test_flash_cross_attention_lengths():
     B, Sq, Sk, H, D = 1, 30, 130, 2, 16
     rng = np.random.default_rng(2)
