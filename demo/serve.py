@@ -44,7 +44,14 @@ PAGE = """<!DOCTYPE html>
   <h3>Input</h3>
   <textarea id="text" placeholder="How are you feeling today?"></textarea><br/>
   Audio (wav): <input type="file" id="audio" accept=".wav"/><br/>
-  Video (mp4): <input type="file" id="video" accept=".mp4,.avi,.mov"/><br/><br/>
+  Video (mp4): <input type="file" id="video" accept=".mp4,.avi,.mov"/><br/>
+  <div style="margin-top:8px">
+    Webcam: <button id="camStart" onclick="camStart()">Start recording</button>
+    <button id="camStop" onclick="camStop()" disabled>Stop</button>
+    <span id="camStatus"></span><br/>
+    <video id="camPreview" width="240" autoplay muted playsinline
+           style="display:none; margin-top:6px; border:1px solid #ccc"></video>
+  </div><br/>
   <button onclick="analyze()">Analyze Emotion</button>
 </div>
 <div class="card"><h3>Emotion Distribution</h3><div id="dist"></div></div>
@@ -53,6 +60,39 @@ PAGE = """<!DOCTYPE html>
 <div class="card"><h3>Suggestions</h3><pre id="sugg"></pre></div>
 <div class="card"><h3>Conversation History</h3><pre id="hist"></pre></div>
 <script>
+// Webcam capture: getUserMedia preview + MediaRecorder -> webm blob,
+// uploaded as the 'webcam_video' field (the reference demo's webcam input,
+// gradio_demo.py:613-616, served here without gradio).
+let camStream = null, camRecorder = null, camBlob = null, camChunks = [];
+async function camStart() {
+  try {
+    camStream = await navigator.mediaDevices.getUserMedia({video: true});
+  } catch (e) {
+    document.getElementById('camStatus').textContent = 'camera unavailable: ' + e;
+    return;
+  }
+  const prev = document.getElementById('camPreview');
+  prev.srcObject = camStream; prev.style.display = 'block';
+  camChunks = []; camBlob = null;
+  camRecorder = new MediaRecorder(camStream, {mimeType: 'video/webm'});
+  camRecorder.ondataavailable = (e) => { if (e.data.size) camChunks.push(e.data); };
+  camRecorder.onstop = () => {
+    camBlob = new Blob(camChunks, {type: 'video/webm'});
+    document.getElementById('camStatus').textContent =
+      'clip ready (' + (camBlob.size/1024).toFixed(0) + ' KB)';
+  };
+  camRecorder.start();
+  document.getElementById('camStart').disabled = true;
+  document.getElementById('camStop').disabled = false;
+  document.getElementById('camStatus').textContent = 'recording…';
+}
+function camStop() {
+  if (camRecorder && camRecorder.state !== 'inactive') camRecorder.stop();
+  if (camStream) camStream.getTracks().forEach(t => t.stop());
+  document.getElementById('camPreview').style.display = 'none';
+  document.getElementById('camStart').disabled = false;
+  document.getElementById('camStop').disabled = true;
+}
 async function analyze() {
   const fd = new FormData();
   fd.append('text', document.getElementById('text').value);
@@ -60,6 +100,7 @@ async function analyze() {
   const v = document.getElementById('video').files[0];
   if (a) fd.append('audio', a);
   if (v) fd.append('video', v);
+  if (camBlob) fd.append('webcam_video', camBlob, 'webcam.webm');
   document.getElementById('resp').textContent = 'Analyzing...';
   const res = await fetch('/api/analyze', {method:'POST', body: fd});
   const data = await res.json();
@@ -159,7 +200,7 @@ def make_handler(demo, media_dir="."):
                 self.end_headers()
                 return
             ctype = self.headers.get("Content-Type", "")
-            text, audio_path, video_path = "", None, None
+            text, audio_path, video_path, webcam_path = "", None, None, None
             tmpfiles = []
             try:
                 length = int(self.headers.get("Content-Length", 0))
@@ -168,7 +209,10 @@ def make_handler(demo, media_dir="."):
                     form = _parse_multipart(raw, ctype)
                     if "text" in form:
                         text = form["text"][1].decode("utf-8", "replace")
-                    for field, suffix in (("audio", ".wav"), ("video", ".mp4")):
+                    saved = {}
+                    for field, suffix in (("audio", ".wav"),
+                                          ("video", ".mp4"),
+                                          ("webcam_video", ".webm")):
                         filename, payload = form.get(field, (None, b""))
                         if filename and payload:
                             f = tempfile.NamedTemporaryFile(
@@ -176,10 +220,10 @@ def make_handler(demo, media_dir="."):
                             f.write(payload)
                             f.close()
                             tmpfiles.append(f.name)
-                            if field == "audio":
-                                audio_path = f.name
-                            else:
-                                video_path = f.name
+                            saved[field] = f.name
+                    audio_path = saved.get("audio")
+                    video_path = saved.get("video")
+                    webcam_path = saved.get("webcam_video")
                 else:
                     body = json.loads(raw or b"{}")
                     text = body.get("text", "")
@@ -189,9 +233,13 @@ def make_handler(demo, media_dir="."):
                         body.get("audio_path"), media_dir)
                     video_path = _resolve_media_path(
                         body.get("video_path"), media_dir)
+                    webcam_path = _resolve_media_path(
+                        body.get("webcam_path"), media_dir)
 
                 analysis, response, suggestions, chart, va = (
-                    demo.process_multimodal_input(text, audio_path, video_path)
+                    demo.process_multimodal_input(
+                        text, audio_path, video_path,
+                        webcam_video=webcam_path)
                 )
                 payload = {
                     "emotion_analysis": analysis,

@@ -113,6 +113,53 @@ def test_demo_api_rejects_path_traversal(served_demo):
         assert "error" in json.loads(e.read())
 
 
+def test_demo_api_webcam_upload(served_demo):
+    """A recorded webcam clip uploaded as the 'webcam_video' multipart field
+    (the browser's MediaRecorder path) round-trips through the API and is
+    used as the video source (reference webcam input,
+    gradio_demo.py:613-616)."""
+    port, data_dir = served_demo
+    # synthetic "webcam" blob: any container cv2 can open works; the sample
+    # mp4 stands in for the browser's webm (same decode path)
+    clip = open(f"{data_dir}/video/happy_000.mp4", "rb").read()
+    boundary = "webcamboundary42"
+    parts = [
+        f"--{boundary}\r\nContent-Disposition: form-data; "
+        f'name="text"\r\n\r\nlook at my webcam feed\r\n'.encode(),
+        f"--{boundary}\r\nContent-Disposition: form-data; "
+        f'name="webcam_video"; filename="webcam.webm"\r\n'
+        f"Content-Type: video/webm\r\n\r\n".encode() + clip + b"\r\n",
+        f"--{boundary}--\r\n".encode(),
+    ]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/analyze", data=b"".join(parts),
+        headers={"Content-Type":
+                 f"multipart/form-data; boundary={boundary}"})
+    resp = json.loads(urllib.request.urlopen(req, timeout=300).read())
+    ea = resp["emotion_analysis"]
+    assert ea["predicted_emotion"] in [
+        "happy", "sad", "angry", "fear", "surprise", "disgust", "neutral"]
+    assert 0 < ea["confidence"] <= 1
+
+    # JSON-path variant of the same field (webcam_path, media_dir-confined)
+    body = json.dumps({"text": "webcam again",
+                       "webcam_path": "video/happy_000.mp4"}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/analyze", data=body,
+        headers={"Content-Type": "application/json"})
+    resp = json.loads(urllib.request.urlopen(req, timeout=300).read())
+    assert resp["emotion_analysis"]["predicted_emotion"]
+
+
+def test_demo_page_has_webcam_capture(served_demo):
+    port, _ = served_demo
+    html = urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/", timeout=120).read().decode()
+    assert "getUserMedia" in html
+    assert "MediaRecorder" in html
+    assert "webcam_video" in html
+
+
 def test_demo_api_multipart_upload(served_demo, tmp_path):
     port, data_dir = served_demo
     wav = open(f"{data_dir}/audio/happy_000.wav", "rb").read()
