@@ -96,7 +96,19 @@ def param_partition_spec(path_keys, value) -> P:
     - LSTM hoisted input matmul w_ih: shard the input dim (row-parallel, one
       all-reduce per layer); the sequential recurrent matmul w_hh stays
       replicated — sharding it would cost a collective per timestep
-    - norms / biases / small heads: replicated
+
+    Deliberately REPLICATED (measured/structural choices, not omissions):
+    - LSTM w_hh (above) and all LSTM biases.
+    - DeBERTa rel_embeddings + rel_ln: consumed by EVERY layer's shared-key
+      position projections; sharding the [2·span, E] table would force an
+      all-gather per layer to rebuild the per-head position tables the
+      fused kernel consumes, for ~1.5 MB of savings.
+    - All fusion weights, classifier/aux heads, adapters, prompts, norms,
+      biases: each is ≤ a few MB; the 99% of FLOPs and bytes live in the
+      three encoder stacks, so sharding the fusion heads buys nothing and
+      costs a collective at the modality join (measured round 3 on the
+      virtual mesh: fusion is within noise of free at every mesh shape —
+      see RESULTS.md TP section).
     """
     parent = path_keys[-2] if len(path_keys) >= 2 else ""
     leaf = path_keys[-1]
