@@ -59,15 +59,106 @@ class ViTLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     scan: bool = False  # under nn.scan the body must return (carry, ys)
 
-    @nn.compact
-    def __call__(self, hidden: jnp.ndarray, deterministic: bool = True):
+    def _use_fused(self, S: int, deterministic: bool) -> bool:
+        from ..ops.pallas.attention_block import block_viable
+
+        cfg = self.config
+        E, H = cfg.hidden_size, cfg.num_heads
+        return (cfg.use_flash
+                and (deterministic or cfg.attention_dropout == 0.0)
+                and H * (E // H) == E and block_viable(S, H, E // H, E))
+
+    def _attend(self, x, deterministic, fused_w, rows=None):
+        """softmax(QK^T)V + out-projection for ``x`` [B, S, E].
+
+        ``rows``: if set, only the first ``rows`` query rows are computed
+        (k/v still span all S keys) — the CLS-only final-layer path.
+        ``fused_w``: the (wq,bq,...,wo,bo) tuple when the fused block
+        kernel route owns the projection params, else None (nn.Dense
+        modules own them)."""
         cfg = self.config
         E, H = cfg.hidden_size, cfg.num_heads
         D = E // H
-        B, S, _ = hidden.shape
+        B, S, _ = x.shape
 
+        if fused_w is not None and rows is None:
+            from ..ops.pallas.attention_block import attention_block
+
+            wq, bq, wk, bk, wv, bv, wo, bo = [
+                w.astype(self.dtype) for w in fused_w
+            ]
+            return attention_block(x, wq, bq, wk, bk, wv, bv, wo, bo,
+                                   num_heads=H)
+
+        xq = x if rows is None else x[:, :rows]
+        Q = xq.shape[1]
+        if fused_w is not None:
+            wq, bq, wk, bk, wv, bv, wo, bo = [
+                w.astype(self.dtype) for w in fused_w
+            ]
+            q = (jnp.dot(xq, wq) + bq).reshape(B, Q, H, D)
+            k = (jnp.dot(x, wk) + bk).reshape(B, S, H, D)
+            v = (jnp.dot(x, wv) + bv).reshape(B, S, H, D)
+        else:
+            q = nn.Dense(E, dtype=self.dtype, name="query")(xq).reshape(B, Q, H, D)
+            k = nn.Dense(E, dtype=self.dtype, name="key")(x).reshape(B, S, H, D)
+            v = nn.Dense(E, dtype=self.dtype, name="value")(x).reshape(B, S, H, D)
+        if fused_w is None and rows is None and cfg.use_flash and (
+                deterministic or cfg.attention_dropout == 0.0) and S > 512:
+            from ..ops.pallas.flash_attention import flash_attention
+
+            ctx = flash_attention(q, k, v)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) * (D ** -0.5)
+            scores = compact_scores(scores, self.dtype)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            probs = nn.Dropout(cfg.attention_dropout)(probs,
+                                                      deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                             preferred_element_type=jnp.float32).astype(self.dtype)
+        ctx = ctx.reshape(B, Q, E)
+        if fused_w is not None:
+            return jnp.dot(ctx, wo) + bo
+        return nn.Dense(E, dtype=self.dtype, name="attn_output")(ctx)
+
+    def _ffn(self, hidden, deterministic):
+        cfg = self.config
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="layernorm_after")(hidden)
+        x = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
+                     name="intermediate_dense")(x)
+        x = gelu(x, self.dtype)
+        x = nn.Dense(cfg.hidden_size, dtype=self.dtype,
+                     name="output_dense")(x)
+        x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+        return hidden + x
+
+    def _body(self, hidden, deterministic, fused_w, rows=None):
+        cfg = self.config
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="layernorm_before")(hidden)
+        attn = self._attend(x, deterministic, fused_w, rows=rows)
+        attn = nn.Dropout(cfg.hidden_dropout)(attn, deterministic=deterministic)
+        if rows is None:
+            return self._ffn(hidden + attn, deterministic)
+        h = hidden[:, :rows] + attn
+        out_rows = self._ffn(h, deterministic)
+        # Rows >= ``rows`` of the carry go stale (previous layer's hidden);
+        # the caller consumes only the computed rows (CLS pooling).
+        return jax.lax.dynamic_update_slice(
+            hidden, out_rows.astype(hidden.dtype), (0, 0, 0))
+
+    @nn.compact
+    def __call__(self, hidden: jnp.ndarray, deterministic: bool = True,
+                 rows: int = None):
+        """``rows``: static — compute only the first ``rows`` query rows of
+        this layer (CLS-only final layer; see ViTModel). Rows past ``rows``
+        of the returned carry are passed through stale."""
+        cfg = self.config
+        E, H = cfg.hidden_size, cfg.num_heads
+        S = hidden.shape[1]
+
         # Attention routing (v5e-measured, round 3): per-op attention
         # kernels LOSE in-context at these shapes regardless of their inner
         # speed — the custom call forces [B, S, H, D] q/k/v/out tensors to
@@ -75,51 +166,61 @@ class ViTLayer(nn.Module):
         # 240-frame forward). The block kernel fuses qkv-projection +
         # attention + out-projection with natural [B, S, E] I/O instead.
         from ..ops.attention import DenseParams
-        from ..ops.pallas.attention_block import attention_block, block_viable
 
-        fused_ok = (cfg.use_flash
-                    and (deterministic or cfg.attention_dropout == 0.0))
-        if fused_ok and H * D == E and block_viable(S, H, D, E):
+        fused_w = None
+        if self._use_fused(S, deterministic):
             wq, bq = DenseParams(E, name="query")(E)
             wk, bk = DenseParams(E, name="key")(E)
             wv, bv = DenseParams(E, name="value")(E)
             wo, bo = DenseParams(E, name="attn_output")(E)
-            attn = attention_block(
-                x, wq.astype(self.dtype), bq.astype(self.dtype),
-                wk.astype(self.dtype), bk.astype(self.dtype),
-                wv.astype(self.dtype), bv.astype(self.dtype),
-                wo.astype(self.dtype), bo.astype(self.dtype), num_heads=H,
-            )
-        else:
-            q = nn.Dense(E, dtype=self.dtype, name="query")(x).reshape(B, S, H, D)
-            k = nn.Dense(E, dtype=self.dtype, name="key")(x).reshape(B, S, H, D)
-            v = nn.Dense(E, dtype=self.dtype, name="value")(x).reshape(B, S, H, D)
-            if fused_ok and S > 512:
-                from ..ops.pallas.flash_attention import flash_attention
+            fused_w = (wq, bq, wk, bk, wv, bv, wo, bo)
 
-                ctx = flash_attention(q, k, v)
-            else:
-                scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                                    preferred_element_type=jnp.float32) * (D ** -0.5)
-                scores = compact_scores(scores, self.dtype)
-                probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-                probs = nn.Dropout(cfg.attention_dropout)(probs,
-                                                          deterministic=deterministic)
-                ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                                 preferred_element_type=jnp.float32).astype(self.dtype)
-            attn = nn.Dense(E, dtype=self.dtype, name="attn_output")(ctx.reshape(B, S, E))
-        attn = nn.Dropout(cfg.hidden_dropout)(attn, deterministic=deterministic)
-        hidden = hidden + attn
-
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                         name="layernorm_after")(hidden)
-        x = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
-                     name="intermediate_dense")(x)
-        x = gelu(x, self.dtype)
-        x = nn.Dense(E, dtype=self.dtype, name="output_dense")(x)
-        x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
-        out = hidden + x
+        out = self._body(hidden, deterministic, fused_w, rows=rows)
         return (out, None) if self.scan else out
+
+
+class _StackedLeaves(nn.Module):
+    """Creates leaf params with a leading [L] stack axis under this
+    module's scope — the same names/shapes/inits nn.scan over the layer
+    module would create, so checkpoints and converters are agnostic to
+    which mechanism owns the scan."""
+
+    leaves: tuple  # ((leaf_name, per-layer shape), ...)
+    L: int
+
+    @nn.compact
+    def __call__(self):
+        out = {}
+        for leaf, shape in self.leaves:
+            init = (nn.initializers.ones if leaf == "scale" else
+                    nn.initializers.zeros if leaf == "bias" else
+                    nn.linear.default_kernel_init)
+            out[leaf] = self.param(leaf, init, (self.L,) + tuple(shape))
+        return out
+
+
+class _StackedLayerParams(nn.Module):
+    """The full ViTLayer param tree, [num_layers]-stacked (see ViTModel)."""
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self):
+        cfg = self.config
+        E, F, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+        ln = (("scale", (E,)), ("bias", (E,)))
+        groups = {
+            "layernorm_before": ln,
+            "query": (("kernel", (E, E)), ("bias", (E,))),
+            "key": (("kernel", (E, E)), ("bias", (E,))),
+            "value": (("kernel", (E, E)), ("bias", (E,))),
+            "attn_output": (("kernel", (E, E)), ("bias", (E,))),
+            "layernorm_after": ln,
+            "intermediate_dense": (("kernel", (E, F)), ("bias", (F,))),
+            "output_dense": (("kernel", (F, E)), ("bias", (E,))),
+        }
+        return {name: _StackedLeaves(leaves, L, name=name)()
+                for name, leaves in groups.items()}
 
 
 class ViTModel(nn.Module):
@@ -153,22 +254,47 @@ class ViTModel(nn.Module):
         x = x + pos_embed.astype(self.dtype)
         x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
 
-        # nn.scan over stacked [L, ...] layer params: one traced/compiled
-        # body instead of num_layers unrolled copies (see deberta.py note).
-        layer_cls = (
-            nn.remat(ViTLayer, static_argnums=(2,), prevent_cse=False)
-            if self.remat else ViTLayer
+        # Layer stack: explicitly created [L, ...]-stacked params (the exact
+        # tree nn.scan would make — converters/TP specs/checkpoints see no
+        # difference) driven by jax.lax.scan, so the layer body is traced
+        # and compiled ONCE (12-layer unroll compiled in 569 s, the scan in
+        # ~74 s). Owning the scan directly (instead of nn.scan) lets the
+        # FINAL layer run outside it with a static CLS-only fast path:
+        # the video encoder consumes only the CLS vector per frame
+        # (reference encoders.py:223), so the last layer computes just the
+        # CLS query row — k/v still span all tokens, but the FFN and q/out
+        # projections shrink S → 1, saving ~a layer of MXU work. An
+        # is_last lax.cond inside the scan was measured to cost ~0.35 ms
+        # PER ITERATION (XLA cond blocks fusion across its boundary),
+        # cancelling the entire win — hence the structural split.
+        stack = _StackedLayerParams(cfg, name="layers")()
+        layer = ViTLayer(cfg, dtype=self.dtype)
+        L = cfg.num_layers
+        n_scanned = L - 1 if (cls_only and L > 1) else L
+        scanned_params = jax.tree_util.tree_map(lambda a: a[:n_scanned], stack)
+
+        needs_rng = not deterministic and (
+            cfg.hidden_dropout > 0 or cfg.attention_dropout > 0
         )
-        scanned = nn.scan(
-            layer_cls,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
-            in_axes=nn.broadcast,
-            length=cfg.num_layers,
-        )
-        x, _ = scanned(cfg, dtype=self.dtype, scan=True, name="layers")(
-            x, deterministic
-        )
+        keys = (jax.random.split(self.make_rng("dropout"), L)
+                if needs_rng else jnp.zeros((L, 2), jnp.uint32))
+
+        def body(h, xs):
+            p_i, key_i = xs
+            rngs = {"dropout": key_i} if needs_rng else None
+            out = layer.apply({"params": p_i}, h, deterministic, rngs=rngs)
+            return out, None
+
+        if self.remat:
+            body = jax.checkpoint(body, prevent_cse=False)
+        x, _ = jax.lax.scan(body, x, (scanned_params, keys[:n_scanned]))
+
+        if cls_only and L > 1:
+            p_last = jax.tree_util.tree_map(lambda a: a[L - 1], stack)
+            rngs = {"dropout": keys[L - 1]} if needs_rng else None
+            x = layer.apply({"params": p_last}, x, deterministic, 1,
+                            rngs=rngs)
+            x = x[:, :1]  # only the CLS row is live past the final layer
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="layernorm")(x)
         if cls_only:

@@ -58,15 +58,25 @@ def _pad_axis(x, axis, mult, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _head_group(H, Sq, Sk, D, itemsize, block_q, has_bias):
-    """Largest divisor of H whose resident tiles fit the VMEM budget."""
+def _head_group(H, Sq, Sk, D, itemsize, block_q, has_bias, full_q=False):
+    """Largest divisor of H whose resident tiles fit the VMEM budget.
+
+    ``full_q``: the backward dk/dv (and dq/dbias) kernels additionally keep
+    the FULL-sequence q, do, lse, and delta operands resident per program
+    (their BlockSpecs span Sq) — at engaged lengths (S > 512) that
+    residency dominates and must be budgeted, or the group overflows VMEM.
+    """
     for hg in range(H, 0, -1):
         if H % hg:
             continue
         kv = 2 * hg * Sk * D * itemsize
         bias = hg * block_q * Sk * 4 if has_bias else 0
         scores = 2 * hg * block_q * Sk * 4  # s tile + p tile (f32)
-        if kv + bias + scores <= _VMEM_BUDGET:
+        resident = (
+            2 * hg * Sq * D * itemsize  # full q + do
+            + 2 * hg * Sq * 4           # full lse + delta (f32)
+        ) if full_q else 0
+        if kv + bias + scores + resident <= _VMEM_BUDGET:
             return hg
     return 1
 
@@ -269,7 +279,7 @@ def _flash_backward(q, k, v, bias, out, lse, do, block_q, block_k, interpret,
 
     has_bias = bias is not None
     G = _head_group(H, Sq, Sk, D, q.dtype.itemsize,
-                    max(block_q, block_k), has_bias)
+                    max(block_q, block_k), has_bias, full_q=True)
     tile_q = pl.BlockSpec((1, G, block_q, D), lambda b, g, i: (b, g, i, 0))
     full_q = pl.BlockSpec((1, G, Sq, D), lambda b, g, i: (b, g, 0, 0))
     tile_k = pl.BlockSpec((1, G, block_k, D), lambda b, g, i: (b, g, i, 0))

@@ -1,0 +1,116 @@
+"""On-TPU smoke test for the Pallas kernels at ENGAGED lengths.
+
+The CPU test suite runs every kernel in interpreter mode; this tool runs
+them compiled on the real chip — in particular flash attention forward AND
+backward at S > 512 (the only regime the auto-gate ever engages it,
+ops/attention.py), with a bias, so the VMEM head-group estimate
+(flash_attention._head_group) is validated against Mosaic's actual
+budget rather than assumed.
+
+Usage:  python tools/smoke_tpu_kernels.py   (needs a TPU backend)
+"""
+import sys
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _check(name, got, want, tol):
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                - want.astype(jnp.float32))))
+    status = "ok" if err <= tol else "FAIL"
+    print(f"  {name}: max|Δ| = {err:.2e} (tol {tol:g}) {status}")
+    if err > tol:
+        raise SystemExit(f"{name} exceeded tolerance")
+
+
+def xla_attention(q, k, v, bias=None):
+    D = q.shape[-1]
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * (D ** -0.5)
+    if bias is not None:
+        s = s + bias
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def smoke_flash(S=1024, B=2, H=12, D=64):
+    from simple_multimodal_tpu.ops.pallas.flash_attention import flash_attention
+
+    print(f"flash fwd+bwd at S={S} (bias on), compiled:")
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.bfloat16)
+    bias = jnp.asarray(rng.standard_normal((1, H, S, S)) * 0.5, jnp.float32)
+
+    out = jax.jit(flash_attention)(q, k, v, bias)
+    ref = jax.jit(xla_attention)(q, k, v, bias)
+    _check("forward", out, ref, 3e-2)
+
+    def loss_flash(q, k, v, bias):
+        return jnp.sum(flash_attention(q, k, v, bias).astype(jnp.float32) ** 2)
+
+    def loss_xla(q, k, v, bias):
+        return jnp.sum(xla_attention(q, k, v, bias).astype(jnp.float32) ** 2)
+
+    gf = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2, 3)))(q, k, v, bias)
+    gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2, 3)))(q, k, v, bias)
+    scale = float(jnp.max(jnp.abs(gx[0].astype(jnp.float32)))) or 1.0
+    for name, a, b in zip("dq dk dv dbias".split(), gf, gx):
+        _check(name, a / scale, b / scale, 5e-2)
+
+
+def smoke_deberta(S=512, B=2, H=12, D=64, span=256):
+    from simple_multimodal_tpu.ops.pallas.deberta_attention import (
+        deberta_attention,
+    )
+    from simple_multimodal_tpu.models.deberta import (
+        DebertaConfig, DebertaModel,
+    )
+
+    print("fused disentangled-attention kernel vs XLA model path:")
+    import dataclasses as dc
+    cfg = dc.replace(DebertaConfig.base(), num_layers=1)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (B, S)), jnp.int32)
+    mask = jnp.ones((B, S), jnp.int32)
+    m_k = DebertaModel(dc.replace(cfg, use_flash=True), dtype=jnp.bfloat16)
+    m_x = DebertaModel(dc.replace(cfg, use_flash=False), dtype=jnp.bfloat16)
+    p = jax.jit(m_k.init)(jax.random.PRNGKey(0), ids, mask)
+    ok = jax.jit(lambda p: m_k.apply(p, ids, mask))(p)
+    ox = jax.jit(lambda p: m_x.apply(p, ids, mask))(p)
+    _check("deberta layer", ok, ox, 5e-2)
+
+
+def smoke_block(S=512, B=4, H=8, E=768):
+    from simple_multimodal_tpu.ops.attention import MultiHeadAttention
+
+    print("fused attention-block kernel vs einsum path:")
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((B, S, E)), jnp.bfloat16)
+    m_k = MultiHeadAttention(E, H, dtype=jnp.bfloat16, use_flash=True)
+    m_x = MultiHeadAttention(E, H, dtype=jnp.bfloat16, use_flash=False)
+    p = jax.jit(m_k.init)(jax.random.PRNGKey(0), x, x, x)
+    ok, _ = jax.jit(lambda p: m_k.apply(p, x, x, x, need_weights=False))(p)
+    ox, _ = jax.jit(lambda p: m_x.apply(p, x, x, x, need_weights=False))(p)
+    _check("attention block", ok, ox, 5e-2)
+
+
+def main():
+    if jax.default_backend() != "tpu":
+        raise SystemExit("needs a TPU backend (got %s)" % jax.default_backend())
+    print(f"device: {jax.devices()[0]}")
+    smoke_flash()
+    smoke_deberta()
+    smoke_block()
+    print("all kernel smokes passed on-chip")
+
+
+if __name__ == "__main__":
+    main()
