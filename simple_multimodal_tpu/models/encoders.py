@@ -145,11 +145,16 @@ class AudioEncoder(nn.Module):
                 cfg.adapter_size, dtype=self.dtype, name="adapter"
             )(sequence_output, deterministic=deterministic)
 
+        # need_weights=False: nothing downstream reads the temporal-attention
+        # probabilities (the reference computes them and its model assembly
+        # discards them — encoders.py:152-166 vs multimodal_model.py), and
+        # materializing the [B, 8, S, S] tensor blocks the fused
+        # attention-block kernel route (ops/attention.py:109-139).
         attended, attn_weights = MultiHeadAttention(
             audio_cfg.hidden_size, 8, cfg.fusion_dropout, dtype=self.dtype,
             use_flash=audio_cfg.use_flash, name="temporal_attention",
         )(sequence_output, sequence_output, sequence_output,
-          deterministic=deterministic)
+          deterministic=deterministic, need_weights=False)
 
         pooled = attended.mean(axis=1)
         projected = nn.Dense(cfg.fusion_hidden_size, dtype=self.dtype,
@@ -197,10 +202,14 @@ class VideoEncoder(nn.Module):
             dropout=cfg.fusion_dropout, dtype=self.dtype, name="temporal_lstm",
         )(frame_features, deterministic=deterministic)
 
+        # need_weights=False — see temporal_attention above: the weights are
+        # computed-and-discarded in the reference, and skipping them unblocks
+        # the fused attention-block kernel at this site.
         attended, attn_weights = MultiHeadAttention(
             vit_cfg.hidden_size, 8, cfg.fusion_dropout, dtype=self.dtype,
             use_flash=vit_cfg.use_flash, name="facial_attention",
-        )(lstm_out, lstm_out, lstm_out, deterministic=deterministic)
+        )(lstm_out, lstm_out, lstm_out, deterministic=deterministic,
+          need_weights=False)
 
         pooled = attended.mean(axis=1)
         projected = nn.Dense(cfg.fusion_hidden_size, dtype=self.dtype,

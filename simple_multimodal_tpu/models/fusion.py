@@ -92,7 +92,8 @@ class CrossModalTransformer(nn.Module):
         attn_out, _ = MultiHeadAttention(
             E, cfg.fusion_num_heads, cfg.fusion_dropout, dtype=self.dtype,
             name="attention",
-        )(query, key_value, key_value, deterministic=deterministic)
+        )(query, key_value, key_value, deterministic=deterministic,
+          need_weights=False)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(query + attn_out)
         h = nn.Dense(E * 4, dtype=self.dtype, name="ffn_0")(x)
         h = nn.relu(h)
@@ -136,7 +137,7 @@ class MultimodalTransformer(nn.Module):
             out, _ = MultiHeadAttention(
                 E, cfg.fusion_num_heads, cfg.fusion_dropout, dtype=self.dtype,
                 name=name,
-            )(x, x, x, deterministic=deterministic)
+            )(x, x, x, deterministic=deterministic, need_weights=False)
             return out
 
         t_att = self_attn("text_self_attn", enh_t).mean(axis=1)
