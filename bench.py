@@ -52,17 +52,41 @@ def measure_preprocessing(cfg, n_clips: int = 4):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def probe_link_bandwidth(mb: int = 16, reps: int = 3):
+    """Measured host→device bandwidth (MB/s) via timed device_puts.
+
+    The e2e number is transfer-bound on slow links (the tunneled chip has
+    measured anywhere from ~22 to ~110 MB/s run to run); recording the
+    link speed alongside each e2e figure turns "link weather" from an
+    excuse into evidence."""
+    import jax
+
+    arr = np.random.default_rng(0).integers(
+        0, 255, (mb * 1024 * 1024,), dtype=np.uint8)
+    jax.block_until_ready(jax.device_put(arr[: 1024 * 1024]))  # warm path
+    rates = []
+    for _ in range(reps):
+        t0 = time.time()
+        d = jax.device_put(arr)
+        # force materialization on-device: fetch one byte back
+        np.asarray(jax.device_get(d[:1]))
+        rates.append(mb / (time.time() - t0))
+        del d
+    return {"mb_per_s_median": float(np.median(rates)),
+            "mb_per_s_trials": [round(float(r), 2) for r in rates]}
+
+
 def measure_e2e_pipelined(cfg, forward, params, batch_size, sync,
                           n_per_emotion=6, duration=10.0, trials=3):
     """MEASURED end-to-end clips/s: drive real decoded batches through
     ``prefetch_to_device`` into the jitted forward and time the pipelined
     loop (host decode + H2D transfer overlap device compute).
 
-    Runs ``trials`` timed passes per mode and reports median/best/all plus
-    which transfer path executed — a single pass through the tunnel is at
-    the mercy of link weather (round 2 recorded warm 7.2 < cold 19.8 from
-    exactly that). One untimed warmup pass per mode flushes compile/dispatch
-    ramp state out of the first trial.
+    Warm/cold trials are INTERLEAVED (w,c,w,c,...) so tunnel-bandwidth
+    drift over the measurement window hits both modes equally — round 2's
+    warm(7.2) < cold(19.8) inversion came from running all warm passes
+    first through a link that was still ramping. Reports median/best/all
+    trials, which transfer path executed, and the per-clip wire bytes.
 
     Modes: "cold" bypasses the decode sidecar cache entirely (every
     __getitem__ decodes from media — the reference's per-epoch behavior);
@@ -78,7 +102,6 @@ def measure_e2e_pipelined(cfg, forward, params, batch_size, sync,
     from simple_multimodal_tpu.data.pipeline import prefetch_to_device
 
     tmp = tempfile.mkdtemp(prefix="smm_bench_e2e_")
-    rates = {}
     try:
         create_sample_dataset(tmp, num_samples_per_emotion=n_per_emotion,
                               duration=duration)
@@ -86,48 +109,62 @@ def measure_e2e_pipelined(cfg, forward, params, batch_size, sync,
         ds = get_dataset("sample", tmp, "train", cfg)
         for i in range(len(ds)):
             ds[i]
+
+        loaders, samples, paths = {}, {}, {}
+        bytes_per_clip = None
         for mode, cache in (("warm", True), ("cold", False)):
             ds = get_dataset("sample", tmp, "train", cfg)
             ds.cache_decoded = cache
-            loader = create_dataloader(ds, batch_size=batch_size,
-                                       shuffle=False)
-            first = next(iter(loader))
-            sync(forward(params, first["text"], first["audio"],
-                         first["video"]))
+            loaders[mode] = create_dataloader(ds, batch_size=batch_size,
+                                              shuffle=False)
+            samples[mode], paths[mode] = [], []
+        first = next(iter(loaders["warm"]))
+        bytes_per_clip = sum(
+            a.nbytes for a in (first["text"]["input_ids"],
+                               first["text"]["attention_mask"],
+                               first["audio"], first["video"])
+        ) / first["audio"].shape[0]
+        sync(forward(params, first["text"], first["audio"], first["video"]))
 
-            def run(background):
-                t0 = time.time()
-                clips = 0
-                out = None
-                for batch in prefetch_to_device(loader, size=2,
-                                                background=background):
-                    out = forward(params, batch["text"], batch["audio"],
-                                  batch["video"])
-                    clips += int(np.asarray(batch["emotion"]).shape[0])
-                sync(out)  # drain the async pipeline before the clock stops
-                return clips / (time.time() - t0)
+        def run(loader, background):
+            t0 = time.time()
+            clips = 0
+            out = None
+            for batch in prefetch_to_device(loader, size=2,
+                                            background=background):
+                out = forward(params, batch["text"], batch["audio"],
+                              batch["video"])
+                clips += int(np.asarray(batch["emotion"]).shape[0])
+            sync(out)  # drain the async pipeline before the clock stops
+            return clips / (time.time() - t0)
 
-            def run_any():
-                try:
-                    return run(background=True), "background-thread"
-                except Exception:
-                    # tunneled/virtualized runtimes occasionally reject
-                    # device_puts issued from the producer thread; retry
-                    # with transfers on the main thread (still async)
-                    return run(background=False), "main-thread"
+        def run_any(loader):
+            try:
+                return run(loader, background=True), "background-thread"
+            except Exception:
+                # tunneled/virtualized runtimes occasionally reject
+                # device_puts issued from the producer thread; retry
+                # with transfers on the main thread (still async)
+                return run(loader, background=False), "main-thread"
 
-            run_any()  # warmup pass, untimed
-            samples, paths = [], []
-            for _ in range(trials):
-                r, path = run_any()
-                samples.append(r)
-                paths.append(path)
+        for mode in ("warm", "cold"):
+            run_any(loaders[mode])  # warmup pass per mode, untimed
+        for _ in range(trials):
+            for mode in ("warm", "cold"):  # interleaved: see docstring
+                r, path = run_any(loaders[mode])
+                samples[mode].append(r)
+                paths[mode].append(path)
+
+        rates = {}
+        for mode in ("warm", "cold"):
             rates[mode] = {
-                "median": float(np.median(samples)),
-                "best": float(max(samples)),
-                "trials": [round(float(r), 3) for r in samples],
-                "transfer_path": paths,
+                "median": float(np.median(samples[mode])),
+                "best": float(max(samples[mode])),
+                "trials": [round(float(r), 3) for r in samples[mode]],
+                "transfer_path": paths[mode],
             }
+        rates["wire_bytes_per_clip"] = int(bytes_per_clip)
+        rates["video_wire_format"] = getattr(cfg, "video_wire_format", "rgb8")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return rates
@@ -415,7 +452,9 @@ def main():
     # overlapping device compute.
     if not args.skip_preprocessing:
         try:
+            detail["link_probe_before"] = probe_link_bandwidth()
             e2e = measure_e2e_pipelined(cfg, forward, params, B, sync)
+            detail["link_probe_after"] = probe_link_bandwidth()
             detail["e2e_clips_per_sec_warm_cache"] = e2e["warm"]["median"]
             detail["e2e_clips_per_sec_cold_decode"] = e2e["cold"]["median"]
             detail["e2e_detail"] = e2e

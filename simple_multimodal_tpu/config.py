@@ -95,6 +95,13 @@ class ModelConfig:
     # Attention-dropout layers (DeBERTa/wav2vec2) keep the XLA path while
     # dropout is active so training stochasticity matches the reference.
     flash_attention: object = "auto"
+    # Video wire format across the host→device boundary: "rgb8" ships
+    # uint8 RGB frames (already 4x smaller than the reference's f32
+    # tensors); "yuv420" additionally 4:2:0-subsamples chroma (half the
+    # bytes again, luma lossless — see data/video_wire.py). Decoding is a
+    # jittable device-side op; parity/eval paths that feed float frames
+    # are unaffected.
+    video_wire_format: str = "yuv420"
     # Datasets smaller than this stay device-resident across epochs (the
     # host→device boundary is paid once). 0 disables.
     device_data_cache_mb: int = 2048

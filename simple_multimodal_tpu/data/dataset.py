@@ -5,10 +5,12 @@ Capability parity with /root/reference/data/dataset_loaders.py (the
 ``get_dataset``), redesigned for a TPU input pipeline:
 
 - Per-item decode happens on host (ragged work), but every batch shipped to
-  the device is fixed-shape: ``input_ids i32[B,512]``, ``audio f32[B,160000]``,
-  ``video uint8[B,30,224,224,3]`` — so jit traces exactly once.
-- Video stays uint8 across the host→device boundary (4x less transfer than
-  the reference's float tensors); normalization runs on device.
+  the device is fixed-shape: ``input_ids i32[B,512]``, ``audio i16[B,160000]``,
+  ``video uint8[B,30,336,224]`` (yuv420-packed; ``[B,30,224,224,3]`` under
+  ``video_wire_format="rgb8"``) — so jit traces exactly once.
+- Video stays uint8 across the host→device boundary, 4:2:0-packed by
+  default (8x less transfer than the reference's float tensors — see
+  video_wire.py); unpacking/normalization runs on device.
 - Decoded media is memoized to ``.npy`` sidecar files (``cache_decoded``) so a
   single-core host can keep the accelerator fed across epochs; the reference
   re-decodes every item every epoch (dataset_loaders.py:95-193).
@@ -22,6 +24,7 @@ from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
+from . import video_wire
 from .audio_io import load_audio_fixed
 from .tokenizer import get_tokenizer
 from .video_io import load_video_frames
@@ -120,9 +123,19 @@ class MultimodalDataset:
     def _video(self, rel_path: str) -> np.ndarray:
         full = self.data_path / rel_path
         size = tuple(self.config.video_frame_size)
+        w, h = size
+        pack = (getattr(self.config, "video_wire_format", "rgb8") == "yuv420"
+                and video_wire.can_pack(h, w))
         if not full.exists():
-            return np.zeros(
-                (self.config.video_max_frames, size[1], size[0], 3), np.uint8
+            shape = ((self.config.video_max_frames, video_wire.packed_height(h), w)
+                     if pack else (self.config.video_max_frames, h, w, 3))
+            return np.zeros(shape, np.uint8)
+        if pack:
+            # packed sidecar: warm epochs read half the bytes off disk too
+            return self._cached(
+                full, "vid420",
+                lambda: video_wire.pack_yuv420(load_video_frames(
+                    full, self.config.video_max_frames, size)),
             )
         return self._cached(
             full, "vid",

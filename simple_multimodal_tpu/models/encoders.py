@@ -181,11 +181,11 @@ class VideoEncoder(nn.Module):
                  deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         cfg = self.config
         _, _, vit_cfg = resolve_backbone_configs(cfg)
-        B, T = video_frames.shape[0], video_frames.shape[1]
+        from ..data.video_wire import decode_video_wire
 
+        video_frames = decode_video_wire(video_frames, self.dtype)
+        B, T = video_frames.shape[0], video_frames.shape[1]
         frames = video_frames.reshape((B * T,) + video_frames.shape[2:])
-        if frames.dtype == jnp.uint8:
-            frames = frames.astype(self.dtype) / 255.0
         cls = ViTModel(
             vit_cfg, dtype=self.dtype,
             remat=getattr(cfg, "remat_encoders", False), name="vit",

@@ -98,6 +98,13 @@ class MultimodalEmotionModel(nn.Module):
 
         input_ids = text_input["input_ids"]
         attention_mask = text_input["attention_mask"]
+        # Decode the video wire format (packed yuv420 / uint8 RGB / float)
+        # BEFORE any modality zeroing: a zeroed packed plane decodes to
+        # green (U=V=0 is chroma -128), not black — zeroing must act on
+        # normalized frames to match the reference's semantics.
+        from ..data.video_wire import decode_video_wire
+
+        video_input = decode_video_wire(video_input, self.dtype)
         if missing_modalities:
             if "text" in missing_modalities:
                 input_ids = jnp.zeros_like(input_ids)

@@ -56,11 +56,11 @@ def make_train_step(
         audio = batch["audio"]
         if audio.dtype == jnp.int16:  # wire format; dequantize on device
             audio = audio.astype(jnp.float32) / 32768.0
-        video = batch["video"]
-        if video.dtype == jnp.uint8:
-            # normalize at compute dtype: a [B,30,224,224,3] f32 buffer would
-            # double peak HBM vs bf16
-            video = video.astype(compute_dtype) / 255.0
+        # decode the wire format (packed yuv420 / uint8 RGB) at compute
+        # dtype: a [B,30,224,224,3] f32 buffer would double peak HBM vs bf16
+        from ..data.video_wire import decode_video_wire
+
+        video = decode_video_wire(batch["video"], compute_dtype)
         if augment:
             audio, video = augment_batch(rng_aug, audio, video)
         text = batch["text"]

@@ -98,7 +98,8 @@ def test_dataset_and_loader(sample_dataset_dir, tiny_config):
     item = ds[0]
     assert item["text"]["input_ids"].shape == (cfg.text_max_length,)
     assert item["audio"].shape == (cfg.audio_max_length,)
-    assert item["video"].shape == (cfg.video_max_frames, 32, 32, 3)
+    # default wire format is yuv420: packed [T, H*3//2, W] planes
+    assert item["video"].shape == (cfg.video_max_frames, 48, 32)
     assert item["video"].dtype == np.uint8
 
     loader = DataLoader(ds, batch_size=4, shuffle=True, seed=0)
@@ -106,7 +107,7 @@ def test_dataset_and_loader(sample_dataset_dir, tiny_config):
     assert len(batches) == len(loader)
     b = batches[0]
     assert b["audio"].shape == (4, cfg.audio_max_length)
-    assert b["video"].shape == (4, cfg.video_max_frames, 32, 32, 3)
+    assert b["video"].shape == (4, cfg.video_max_frames, 48, 32)
     assert b["emotion"].shape == (4,)
     # final batch wrap-pads to full size
     assert batches[-1]["audio"].shape[0] == 4
@@ -364,3 +365,108 @@ def test_spm_tokenizer_framing_and_resolution(tmp_path, monkeypatch):
     monkeypatch.delenv("SMM_SPM_MODEL")
     got = get_tokenizer("microsoft/deberta-v3-base", max_length=8)
     assert isinstance(got, HashTokenizer)
+
+
+# ---- video wire format (yuv420 packing) -----------------------------------
+
+
+def test_yuv420_roundtrip_error_bound():
+    from simple_multimodal_tpu.data.video_wire import (
+        decode_video_wire, pack_yuv420, unpack_yuv420,
+    )
+
+    rng = np.random.default_rng(0)
+    # synthetic-benchmark-like content: flat colored shapes on black
+    frames = np.zeros((3, 32, 32, 3), np.uint8)
+    frames[0, 4:20, 4:20] = (255, 165, 0)
+    frames[1, :, 8:16] = (0, 100, 255)
+    frames[2] = rng.integers(0, 255, (32, 32, 3))  # worst case: noise
+    packed = pack_yuv420(frames)
+    assert packed.shape == (3, 48, 32) and packed.dtype == np.uint8
+
+    out = np.asarray(unpack_yuv420(packed))
+    ref = frames.astype(np.float32) / 255.0
+    # flat/shape content (what video actually looks like): near-exact
+    assert np.abs(ref[:2] - out[:2]).max() < 2.0 / 255.0
+    # luma on flat content is exact up to quantization
+    w = np.array([0.299, 0.587, 0.114], np.float32)
+    assert np.abs(ref[:2] @ w - out[:2] @ w).max() < 2.0 / 255.0
+    # Per-pixel-random COLOR is the adversarial worst case for 4:2:0
+    # (chroma decimation destroys it by construction; no real video has
+    # per-pixel-independent chroma). Documented, bounded, not pretty:
+    assert np.abs(ref[2] - out[2]).mean() < 0.2
+    # ... but its luma (the spatial structure ViT features ride on)
+    # survives to within clipping effects even there
+    assert np.abs(ref[2] @ w - out[2] @ w).mean() < 6.0 / 255.0
+
+    # decode_video_wire dispatch: packed rank-4, rgb rank-5, float passthru
+    assert decode_video_wire(packed).shape == (3, 32, 32, 3)
+    assert np.allclose(np.asarray(decode_video_wire(frames)), ref)
+    assert np.asarray(decode_video_wire(ref)).dtype == np.float32
+
+
+def test_wire_format_rgb8_fallback(sample_dataset_dir, tiny_config):
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_config, video_wire_format="rgb8")
+    ds = get_dataset("sample", str(sample_dataset_dir), "val", cfg)
+    item = ds[0]
+    assert item["video"].shape == (cfg.video_max_frames, 32, 32, 3)
+
+
+def test_model_zeroed_packed_video_is_black(tiny_config):
+    """Missing-modality zeroing must act on decoded frames: a zeroed
+    packed plane would otherwise decode to green (chroma 0 = -128)."""
+    from simple_multimodal_tpu.data.video_wire import decode_video_wire
+
+    zero_packed = np.zeros((1, 2, 48, 32), np.uint8)
+    dec = np.asarray(decode_video_wire(zero_packed))
+    assert dec.max() > 0.3  # green — proves raw zeroing would be wrong
+    # the model decodes before zeroing (multimodal_model.py), so its
+    # missing-video output must equal the rgb8 missing-video output
+    import jax
+
+    from simple_multimodal_tpu.models import MultimodalEmotionModel
+
+    cfg = tiny_config
+    model = MultimodalEmotionModel(cfg)
+    rng = np.random.default_rng(1)
+    text = {"input_ids": rng.integers(1, 100, (1, cfg.text_max_length)).astype(np.int32),
+            "attention_mask": np.ones((1, cfg.text_max_length), np.int32)}
+    audio = rng.standard_normal((1, cfg.audio_max_length)).astype(np.float32)
+    vid_packed = rng.integers(0, 255, (1, cfg.video_max_frames, 48, 32)).astype(np.uint8)
+    vid_rgb = rng.integers(0, 255, (1, cfg.video_max_frames, 32, 32, 3)).astype(np.uint8)
+    params = model.init(jax.random.PRNGKey(0), text, audio, vid_packed)
+    out_p = model.apply(params, text, audio, vid_packed,
+                        missing_modalities=["video"])
+    out_r = model.apply(params, text, audio, vid_rgb,
+                        missing_modalities=["video"])
+    np.testing.assert_allclose(np.asarray(out_p["emotion_logits"]),
+                               np.asarray(out_r["emotion_logits"]),
+                               atol=1e-5)
+
+
+def test_wire_format_prediction_agreement(sample_dataset_dir, tiny_config):
+    """yuv420 vs rgb8 wire through the SAME model params: logits close,
+    predictions identical on the synthetic set."""
+    import dataclasses
+
+    import jax
+
+    from simple_multimodal_tpu.models import MultimodalEmotionModel
+
+    cfg_y = tiny_config  # default yuv420
+    cfg_r = dataclasses.replace(tiny_config, video_wire_format="rgb8")
+    dsy = get_dataset("sample", str(sample_dataset_dir), "val", cfg_y)
+    dsr = get_dataset("sample", str(sample_dataset_dir), "val", cfg_r)
+    by = collate([dsy[i] for i in range(min(4, len(dsy)))])
+    br = collate([dsr[i] for i in range(min(4, len(dsr)))])
+
+    model = MultimodalEmotionModel(cfg_y)
+    params = model.init(jax.random.PRNGKey(0), by["text"], by["audio"],
+                        by["video"])
+    fwd = jax.jit(lambda p, t, a, v: model.apply(p, t, a, v)["emotion_logits"])
+    ly = np.asarray(fwd(params, by["text"], by["audio"], by["video"]))
+    lr = np.asarray(fwd(params, br["text"], br["audio"], br["video"]))
+    assert np.argmax(ly, -1).tolist() == np.argmax(lr, -1).tolist()
+    assert np.abs(ly - lr).max() < 0.15  # random-init logits, tiny model
