@@ -136,6 +136,30 @@ class ViTLayer(nn.Module):
 
     def _body(self, hidden, deterministic, fused_w, rows=None):
         cfg = self.config
+        # Whole pre-LN attention sub-block in ONE kernel when possible:
+        # x + proj(attn(LN(x))). XLA must materialize a custom call's
+        # operands in HBM, so a separate LayerNorm costs a full [S, E]
+        # round trip per layer (plus another for the residual add) that
+        # the fused form never pays. Dropout between attn and the
+        # residual gates the fusion off (ViT-base has hidden_dropout=0,
+        # so training fuses too).
+        if (fused_w is not None and rows is None
+                and (deterministic or cfg.hidden_dropout == 0.0)):
+            from ..ops.attention import LayerNormParams
+            from ..ops.pallas.attention_block import attention_block
+
+            g, b = LayerNormParams(name="layernorm_before")(cfg.hidden_size)
+            wq, bq, wk, bk, wv, bv, wo, bo = [
+                w.astype(self.dtype) for w in fused_w
+            ]
+            h = attention_block(
+                hidden, wq, bq, wk, bk, wv, bv, wo, bo,
+                num_heads=cfg.num_heads,
+                ln=(g.astype(self.dtype), b.astype(self.dtype),
+                    cfg.layer_norm_eps),
+                residual=True,
+            )
+            return self._ffn(h, deterministic)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="layernorm_before")(hidden)
         attn = self._attend(x, deterministic, fused_w, rows=rows)

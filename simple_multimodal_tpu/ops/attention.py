@@ -82,6 +82,18 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
+class LayerNormParams(nn.Module):
+    """Creates the exact parameter tree of an ``nn.LayerNorm`` (scale +
+    bias, same names/inits) WITHOUT computing the normalization — for
+    layers whose LN is fused into a Pallas kernel (see DenseParams)."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        return scale, bias
+
+
 class MultiHeadAttention(nn.Module):
     embed_dim: int
     num_heads: int

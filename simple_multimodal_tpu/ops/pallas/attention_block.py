@@ -63,17 +63,38 @@ def _mm(a, b):
 
 
 def _kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
-            wo_ref, bo_ref, o_ref, q_scr, k_scr, v_scr, a_scr,
-            *, scale, s_valid, head_dim, group):
+            wo_ref, bo_ref, *rest,
+            scale, s_valid, head_dim, group, ln_eps, residual):
+    """``rest``: [g_ref, b_ref,] o_ref, q_scr, k_scr, v_scr, a_scr.
+
+    ``ln_eps`` is not None → fuse the pre-LayerNorm: x_ref holds the RAW
+    hidden states and g_ref/b_ref the LN scale/bias; normalization happens
+    on the VMEM tile, so the LN output never round-trips HBM (XLA must
+    otherwise materialize it as the custom call's operand — measured
+    ~1.4 ms/layer of pure traffic at the ViT stack shape).
+    ``residual`` → o += raw x (the block's residual add, fused for free)."""
+    if ln_eps is not None:
+        g_ref, b_ref = rest[0], rest[1]
+        rest = rest[2:]
+    o_ref, q_scr, k_scr, v_scr, a_scr = rest
     x = x_ref[0]                      # [Sp, E]
     Sp, E = x.shape
     D = head_dim
+    if ln_eps is not None:
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=1, keepdims=True)
+        var = jnp.mean((xf - mu) * (xf - mu), axis=1, keepdims=True)
+        xn = ((xf - mu) * jax.lax.rsqrt(var + ln_eps)
+              * g_ref[...].astype(jnp.float32)
+              + b_ref[...].astype(jnp.float32)).astype(x.dtype)
+    else:
+        xn = x
     # fused projections: three [Sp, E] x [E, E] MXU matmuls
-    q_scr[...] = (_mm(x, wq_ref[...]) * scale
+    q_scr[...] = (_mm(xn, wq_ref[...]) * scale
                   + bq_ref[...].astype(jnp.float32) * scale).astype(x.dtype)
-    k_scr[...] = (_mm(x, wk_ref[...])
+    k_scr[...] = (_mm(xn, wk_ref[...])
                   + bk_ref[...].astype(jnp.float32)).astype(x.dtype)
-    v_scr[...] = (_mm(x, wv_ref[...])
+    v_scr[...] = (_mm(xn, wv_ref[...])
                   + bv_ref[...].astype(jnp.float32)).astype(x.dtype)
 
     for g0 in range(0, E, group):
@@ -97,79 +118,104 @@ def _kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
             ctx = ctx + jnp.where(m_i, _mm(probs, v_i), 0.0)
         a_scr[:, g0 : g0 + group] = ctx.astype(a_scr.dtype)
 
-    o_ref[0] = (_mm(a_scr[...], wo_ref[...])
-                + bo_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+    out = _mm(a_scr[...], wo_ref[...]) + bo_ref[...].astype(jnp.float32)
+    if residual:
+        out = out + x.astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _fused_call(x, wq, bq, wk, bk, wv, bv, wo, bo, s_valid, head_dim,
-                interpret):
+def _fused_call(x, wq, bq, wk, bk, wv, bv, wo, bo, ln, s_valid, head_dim,
+                interpret, residual):
     B, Sp, E = x.shape
     group = min(E, _round_up(head_dim, 128))
+    ln_eps = None if ln is None else ln[2]
+    operands = [x, wq, bq, wk, bk, wv, bv, wo, bo]
+    mat = pl.BlockSpec((E, E), lambda b: (0, 0))
+    vec = pl.BlockSpec((1, E), lambda b: (0, 0))
+    in_specs = [pl.BlockSpec((1, Sp, E), lambda b: (b, 0, 0)),
+                mat, vec, mat, vec, mat, vec, mat, vec]
+    if ln is not None:
+        operands += [ln[0].reshape(1, E), ln[1].reshape(1, E)]
+        in_specs += [vec, vec]
     return pl.pallas_call(
         functools.partial(_kernel, scale=1.0 / float(np.sqrt(head_dim)),
-                          s_valid=s_valid, head_dim=head_dim, group=group),
+                          s_valid=s_valid, head_dim=head_dim, group=group,
+                          ln_eps=ln_eps, residual=residual),
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, Sp, E), lambda b: (b, 0, 0)),
-            pl.BlockSpec((E, E), lambda b: (0, 0)),
-            pl.BlockSpec((1, E), lambda b: (0, 0)),
-            pl.BlockSpec((E, E), lambda b: (0, 0)),
-            pl.BlockSpec((1, E), lambda b: (0, 0)),
-            pl.BlockSpec((E, E), lambda b: (0, 0)),
-            pl.BlockSpec((1, E), lambda b: (0, 0)),
-            pl.BlockSpec((E, E), lambda b: (0, 0)),
-            pl.BlockSpec((1, E), lambda b: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Sp, E), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Sp, E), x.dtype),
         scratch_shapes=[pltpu.VMEM((Sp, E), x.dtype)] * 4,
         interpret=interpret,
-    )(x, wq, bq, wk, bk, wv, bv, wo, bo)
+    )(*operands)
 
 
-def _xla_reference(x, wq, bq, wk, bk, wv, bv, wo, bo, num_heads):
+def _xla_reference(x, wq, bq, wk, bk, wv, bv, wo, bo, num_heads,
+                   ln=None, residual=False):
     B, S, E = x.shape
     H = num_heads
     D = E // H
-    q = (x @ wq + bq).reshape(B, S, H, D)
-    k = (x @ wk + bk).reshape(B, S, H, D)
-    v = (x @ wv + bv).reshape(B, S, H, D)
+    xn = x
+    if ln is not None:
+        g, b, eps = ln
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        xn = ((xf - mu) * jax.lax.rsqrt(var + eps)
+              * g.reshape(-1).astype(jnp.float32)
+              + b.reshape(-1).astype(jnp.float32)).astype(x.dtype)
+    q = (xn @ wq + bq).reshape(B, S, H, D)
+    k = (xn @ wk + bk).reshape(B, S, H, D)
+    v = (xn @ wv + bv).reshape(B, S, H, D)
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                    preferred_element_type=jnp.float32) / np.sqrt(D)
     p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, S, E)
-    return (ctx.astype(x.dtype) @ wo + bo).astype(x.dtype)
+    out = (ctx.astype(x.dtype) @ wo + bo).astype(jnp.float32)
+    if residual:
+        out = out + x.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
-def _block(x, wq, bq, wk, bk, wv, bv, wo, bo, s_valid, head_dim, interpret):
-    return _fused_call(x, wq, bq, wk, bk, wv, bv, wo, bo, s_valid, head_dim,
-                       interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15))
+def _block(x, wq, bq, wk, bk, wv, bv, wo, bo, ln_g, ln_b,
+           ln_eps, s_valid, head_dim, interpret, residual):
+    ln = None if ln_eps is None else (ln_g, ln_b, ln_eps)
+    return _fused_call(x, wq, bq, wk, bk, wv, bv, wo, bo, ln, s_valid,
+                       head_dim, interpret, residual)
 
 
-def _block_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, s_valid, head_dim,
-               interpret):
-    out = _fused_call(x, wq, bq, wk, bk, wv, bv, wo, bo, s_valid, head_dim,
-                      interpret)
-    return out, (x, wq, bq, wk, bk, wv, bv, wo, bo)
+def _block_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, ln_g, ln_b,
+               ln_eps, s_valid, head_dim, interpret, residual):
+    ln = None if ln_eps is None else (ln_g, ln_b, ln_eps)
+    out = _fused_call(x, wq, bq, wk, bk, wv, bv, wo, bo, ln, s_valid,
+                      head_dim, interpret, residual)
+    return out, (x, wq, bq, wk, bk, wv, bv, wo, bo, ln_g, ln_b)
 
 
-def _block_bwd(s_valid, head_dim, interpret, res, g):
-    x, wq, bq, wk, bk, wv, bv, wo, bo = res
+def _block_bwd(ln_eps, s_valid, head_dim, interpret, residual, res, g):
+    x, wq, bq, wk, bk, wv, bv, wo, bo, ln_g, ln_b = res
     E = x.shape[-1]
     xv = x[:, :s_valid]
+    has_ln = ln_eps is not None
+
+    def ref(xr, wqr, bqr, wkr, bkr, wvr, bvr, wor, bor, gr, br):
+        ln = (gr, br, ln_eps) if has_ln else None
+        return _xla_reference(xr, wqr, bqr, wkr, bkr, wvr, bvr, wor, bor,
+                              num_heads=E // head_dim, ln=ln,
+                              residual=residual)
+
     _, vjp = jax.vjp(
-        lambda *a: _xla_reference(*a, num_heads=E // head_dim),
-        xv, wq, bq.reshape(-1), wk, bk.reshape(-1), wv, bv.reshape(-1),
-        wo, bo.reshape(-1))
+        ref, xv, wq, bq.reshape(-1), wk, bk.reshape(-1), wv, bv.reshape(-1),
+        wo, bo.reshape(-1), ln_g.reshape(-1), ln_b.reshape(-1))
     grads = vjp(g[:, :s_valid])
     dx = grads[0]
     pad = x.shape[1] - s_valid
     if pad:
         dx = jnp.pad(dx, ((0, 0), (0, pad), (0, 0)))
     out = [dx]
-    for i, gr in enumerate(grads[1:]):
-        out.append(gr.reshape(1, -1) if gr.ndim == 1 else gr)
+    for gr_ in grads[1:]:
+        out.append(gr_.reshape(1, -1) if gr_.ndim == 1 else gr_)
     return tuple(out)
 
 
@@ -195,11 +241,16 @@ def attention_block(
     wo: jnp.ndarray, bo: jnp.ndarray,
     num_heads: int,
     interpret: Optional[bool] = None,
+    ln: Optional[tuple] = None,
+    residual: bool = False,
 ) -> jnp.ndarray:
     """Fused attention block over hidden states x [B, S, E].
 
     Weights in flax Dense layout: wq/wk/wv/wo [E, E], biases [E].
-    Returns [B, S, E] in x's dtype.
+    ``ln=(scale, bias, eps)`` fuses a pre-LayerNorm of x into the kernel
+    (LN output never touches HBM); ``residual=True`` fuses ``out += x``.
+    Together they make the kernel the whole pre-LN attention sub-block:
+    ``x + proj(attn(LN(x)))``. Returns [B, S, E] in x's dtype.
     """
     from .spmd import resolve_mesh
 
@@ -211,15 +262,25 @@ def attention_block(
 
     mesh, fallback = resolve_mesh(B, 1)  # heads stay whole per shard
     if fallback:
-        return _xla_reference(x, wq, bq, wk, bk, wv, bv, wo, bo, num_heads)
+        return _xla_reference(x, wq, bq, wk, bk, wv, bv, wo, bo, num_heads,
+                              ln=ln, residual=residual)
 
     Sp = _round_up(max(S, 128), 128)
     if Sp != S:
         x = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0)))
 
-    def fn(x_, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_):
-        return _block(x_, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_, S, D,
-                      interpret)
+    if ln is not None:
+        ln_g, ln_b, ln_eps = ln
+        ln_g = ln_g.reshape(1, E)
+        ln_b = ln_b.reshape(1, E)
+    else:  # dummies: custom_vjp wants arrays; bwd returns zero cotangents
+        ln_g = jnp.zeros((1, E), x.dtype)
+        ln_b = jnp.zeros((1, E), x.dtype)
+        ln_eps = None
+
+    def fn(x_, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_, g_, b_):
+        return _block(x_, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_, g_, b_,
+                      ln_eps, S, D, interpret, residual)
 
     if mesh is not None:
         from jax import shard_map
@@ -228,7 +289,7 @@ def attention_block(
         bse = P("data", None, None)
         rep = P()
         fn = shard_map(fn, mesh=mesh,
-                       in_specs=(bse,) + (rep,) * 8, out_specs=bse,
+                       in_specs=(bse,) + (rep,) * 10, out_specs=bse,
                        check_vma=False)
-    out = fn(x, wq, bq2, wk, bk2, wv, bv2, wo, bo2)
+    out = fn(x, wq, bq2, wk, bk2, wv, bv2, wo, bo2, ln_g, ln_b)
     return out[:, :S]

@@ -418,3 +418,46 @@ def test_flash_cross_attention_lengths():
     ref = reference_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-4)
+
+
+def test_attention_block_fused_ln_residual():
+    """ln=(g,b,eps) + residual=True computes x + proj(attn(LN(x))) — the
+    whole pre-LN attention sub-block (ViTLayer's fused route) — matching
+    the unfused composition, forward and grads."""
+    from simple_multimodal_tpu.ops.pallas.attention_block import (
+        attention_block,
+    )
+
+    B, S, H, D = 2, 197, 4, 16
+    E = H * D
+    x, ws, bs = _block_args(B, S, H, D, seed=31)
+    rng = np.random.default_rng(32)
+    g = (1.0 + 0.1 * rng.standard_normal(E)).astype(np.float32)
+    b = (0.1 * rng.standard_normal(E)).astype(np.float32)
+    eps = 1e-12
+
+    def unfused(x, g, b, *wb):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        xn = (x - mu) * jax.lax.rsqrt(var + eps) * g + b
+        return x + _block_reference(xn, wb[:4], wb[4:], H)
+
+    def fused(x, g, b, *wb):
+        return attention_block(x, wb[0], wb[4], wb[1], wb[5], wb[2], wb[6],
+                               wb[3], wb[7], num_heads=H, interpret=True,
+                               ln=(g, b, eps), residual=True)
+
+    args = (x, g, b, *ws, *bs)
+    out_f = fused(*args)
+    out_u = unfused(*args)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               atol=5e-5, rtol=5e-4)
+
+    w_out = rng.standard_normal(x.shape).astype(np.float32)
+    gf = jax.grad(lambda *a: jnp.sum(fused(*a) * w_out),
+                  argnums=(0, 1, 2, 3, 7))(*args)
+    gu = jax.grad(lambda *a: jnp.sum(unfused(*a) * w_out),
+                  argnums=(0, 1, 2, 3, 7))(*args)
+    for a, e in zip(gf, gu):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   atol=2e-4, rtol=2e-3)

@@ -88,9 +88,14 @@ def smoke_deberta(S=512, B=2, H=12, D=64, span=256):
     _check("deberta layer", ok, ox, 5e-2)
 
 
-def smoke_block(S=512, B=4, H=8, E=768):
+def smoke_block(S=512, B=4, H=12, E=768):
+    # H=12 → head_dim 64 (the ViT/wav2vec2 internal shape). H=8 over 768
+    # gives head_dim 96, which block_viable REJECTS (128 % 96 != 0) — that
+    # configuration silently compares einsum vs einsum and smokes nothing.
     from simple_multimodal_tpu.ops.attention import MultiHeadAttention
+    from simple_multimodal_tpu.ops.pallas.attention_block import block_viable
 
+    assert block_viable(S, H, E // H, E), "smoke config must engage the kernel"
     print("fused attention-block kernel vs einsum path:")
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((B, S, E)), jnp.bfloat16)
@@ -102,6 +107,47 @@ def smoke_block(S=512, B=4, H=8, E=768):
     _check("attention block", ok, ox, 5e-2)
 
 
+def smoke_block_ln(S=197, B=8, H=12, E=768):
+    """The whole pre-LN attention sub-block (LN + qkv + attn + out-proj +
+    residual) in one kernel — ViTLayer's fused route — vs the unfused
+    composition, compiled on-chip."""
+    from simple_multimodal_tpu.ops.pallas.attention_block import (
+        attention_block,
+    )
+
+    print("fused LN+attention-block+residual (ViT sub-block) vs XLA:")
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((B, S, E)), jnp.bfloat16)
+    ws = [jnp.asarray(rng.standard_normal((E, E)) * 0.03, jnp.bfloat16)
+          for _ in range(4)]
+    bs = [jnp.asarray(rng.standard_normal((E,)) * 0.03, jnp.bfloat16)
+          for _ in range(4)]
+    g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(E), jnp.bfloat16)
+    b = jnp.asarray(0.1 * rng.standard_normal(E), jnp.bfloat16)
+    eps = 1e-12
+
+    def fused(x):
+        return attention_block(x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+                               ws[3], bs[3], num_heads=H,
+                               ln=(g, b, eps), residual=True)
+
+    def unfused(x):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        xn = ((xf - mu) * jax.lax.rsqrt(var + eps)
+              * g.astype(jnp.float32) + b.astype(jnp.float32)
+              ).astype(x.dtype)
+        D = E // H
+        q = (xn @ ws[0] + bs[0]).reshape(B, S, H, D)
+        k = (xn @ ws[1] + bs[1]).reshape(B, S, H, D)
+        v = (xn @ ws[2] + bs[2]).reshape(B, S, H, D)
+        ctx = xla_attention(q, k, v).reshape(B, S, E)
+        return x + (ctx @ ws[3] + bs[3])
+
+    _check("ln+block+residual", jax.jit(fused)(x), jax.jit(unfused)(x), 5e-2)
+
+
 def main():
     if jax.default_backend() != "tpu":
         raise SystemExit("needs a TPU backend (got %s)" % jax.default_backend())
@@ -109,6 +155,7 @@ def main():
     smoke_flash()
     smoke_deberta()
     smoke_block()
+    smoke_block_ln()
     print("all kernel smokes passed on-chip")
 
 
