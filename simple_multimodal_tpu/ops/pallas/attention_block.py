@@ -52,6 +52,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pad_s(S: int, itemsize: int) -> int:
+    """Pad S to the SUBLANE multiple (8 f32 / 16 bf16), not to 128.
+
+    S is the row (sublane) dimension of every matmul in the kernel — only
+    the [Sp, Sp] score tensor puts it on lanes, and Mosaic masks a partial
+    final lane tile there for free. Rows are where the FLOPs scale:
+    at the ViT stack shape (240×197×768) Sp=208 measured 3.06 ms/layer vs
+    3.59 at Sp=256, bit-identical output (15% — the padded-row share of
+    the four [Sp, E]×[E, E] projections).
+    """
+    mult = 8 if itemsize >= 4 else 16
+    return _round_up(max(S, 128), mult)
+
+
 def _dot(a, b, dims):
     return jax.lax.dot_general(a, b, dims,
                                preferred_element_type=jnp.float32)
@@ -225,7 +239,7 @@ _block.defvjp(_block_fwd, _block_bwd)
 def block_viable(S: int, H: int, D: int, E: int, itemsize: int = 2) -> bool:
     if D > 128 or 128 % min(D, 128) != 0:
         return False
-    Sp = _round_up(max(S, 128), 128)
+    Sp = _pad_s(S, itemsize)
     weights = 4 * E * E * itemsize
     scratches = 4 * Sp * E * itemsize
     x_io = 2 * Sp * E * itemsize * 2
@@ -265,7 +279,7 @@ def attention_block(
         return _xla_reference(x, wq, bq, wk, bk, wv, bv, wo, bo, num_heads,
                               ln=ln, residual=residual)
 
-    Sp = _round_up(max(S, 128), 128)
+    Sp = _pad_s(S, jnp.dtype(x.dtype).itemsize)
     if Sp != S:
         x = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0)))
 

@@ -1,0 +1,94 @@
+"""Per-component on-chip timing of the flagship forward.
+
+Splits the batch-8 hierarchical-base forward into its encoder/fusion/head
+pieces so optimization targets stay measured, not guessed. Each component
+is jitted in isolation with the same dtypes/shapes the full model uses;
+the full forward is timed too so the isolated numbers can be sanity-checked
+against the whole (XLA fuses across component seams, so the sum usually
+exceeds the in-context total slightly).
+
+Usage: python tools/profile_flagship.py  (TPU backend)
+"""
+import sys
+import pathlib
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, iters=20):
+    out = fn(*args)
+    jax.tree_util.tree_map(
+        lambda x: jax.device_get(jnp.sum(x.astype(jnp.float32))), out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.tree_util.tree_map(
+        lambda x: jax.device_get(jnp.sum(x.astype(jnp.float32))), out)
+    return (time.time() - t0) / iters
+
+
+def main():
+    from simple_multimodal_tpu.config import ModelConfig
+    from simple_multimodal_tpu.models.encoders import (
+        AudioEncoder, TextEncoder, VideoEncoder, resolve_backbone_configs,
+    )
+    from simple_multimodal_tpu.models.multimodal_model import (
+        MultimodalEmotionModel, resolve_dtype,
+    )
+    from simple_multimodal_tpu.data.video_wire import packed_height
+
+    cfg = ModelConfig()
+    cfg.encoder_preset = "base"
+    cfg.fusion_type = "hierarchical"
+    cfg.compute_dtype = "bfloat16"
+    dt = resolve_dtype(cfg)
+    B = 8
+    rng = np.random.default_rng(0)
+
+    ids = jnp.asarray(rng.integers(1, 1000, (B, 512)), jnp.int32)
+    mask = jnp.ones((B, 512), jnp.int32)
+    wav = jnp.asarray(rng.standard_normal((B, 160000)) * 0.1, jnp.float32)
+    n_f, h, w = 30, 224, 224
+    video = jnp.asarray(
+        rng.integers(0, 255, (B, n_f, packed_height(h), w)), jnp.uint8)
+
+    rows = []
+
+    te = TextEncoder(cfg, dtype=dt)
+    pt = jax.jit(te.init)(jax.random.PRNGKey(0),
+                          ids, mask)
+    rows.append(("text encoder (DeBERTa, S=512)",
+                 timeit(jax.jit(lambda p: te.apply(p, ids, mask)), pt)))
+
+    ae = AudioEncoder(cfg, dtype=dt)
+    pa = jax.jit(ae.init)(jax.random.PRNGKey(1), wav)
+    rows.append(("audio encoder (wav2vec2+temporal)",
+                 timeit(jax.jit(lambda p: ae.apply(p, wav)), pa)))
+
+    ve = VideoEncoder(cfg, dtype=dt)
+    pv = jax.jit(ve.init)(jax.random.PRNGKey(2), video)
+    rows.append(("video encoder (ViT x30 + biLSTM + facial)",
+                 timeit(jax.jit(lambda p: ve.apply(p, video)), pv)))
+
+    model = MultimodalEmotionModel(cfg)
+    text_in = {"input_ids": ids, "attention_mask": mask}
+    pm = jax.jit(model.init)(jax.random.PRNGKey(3), text_in, wav, video)
+    t_full = timeit(jax.jit(
+        lambda p: model.apply(p, text_in, wav, video)["emotion_logits"]), pm)
+
+    total = sum(t for _, t in rows)
+    for name, t in rows:
+        print(f"{name:42s}: {t*1e3:7.2f} ms")
+    print(f"{'sum of encoders':42s}: {total*1e3:7.2f} ms")
+    print(f"{'full forward (fusion+heads included)':42s}: {t_full*1e3:7.2f} ms"
+          f"  -> fusion/heads ≈ {(t_full-total)*1e3:.2f} ms")
+    print(f"clips/s device-resident: {B/t_full:.1f}")
+
+
+if __name__ == "__main__":
+    main()
