@@ -32,9 +32,12 @@ FLOPs — noise next to the MXU roofline, and the price buys compileability.
 
 Matches torch/HF semantics of the wav2vec2 / ViT attention blocks
 (/root/reference/models/encoders.py:116,179): biased q/k/v + output
-projections, 1/√D scaling. Backward: custom VJP against the einsum
-reference. SPMD: shard_maps itself over the ambient mesh (batch → 'data';
-weights replicated per shard).
+projections, 1/√D scaling. Backward: a Pallas bwd kernel recomputes
+projections/probabilities in VMEM and emits dx + packed (dq,dk,dv)
+cotangents + the context ``a``; the four weight-grad contractions ride
+plain XLA matmuls over (B, S). Falls back to a reference-vjp when the
+bwd residency exceeds VMEM (_bwd_viable). SPMD: shard_maps itself over
+the ambient mesh (batch → 'data'; weights replicated per shard).
 """
 import functools
 from typing import Optional
@@ -207,30 +210,216 @@ def _block_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, ln_g, ln_b,
     return out, (x, wq, bq, wk, bk, wv, bv, wo, bo, ln_g, ln_b)
 
 
+def _bwd_kernel(x_ref, g_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
+                bv_ref, wo_ref, lg_ref, lb_ref,
+                dx_ref, dqkv_ref, a_ref, dln_ref,
+                q_scr, k_scr, v_scr, da_scr, xhat_scr,
+                *, scale, s_valid, head_dim, group, ln_eps, residual):
+    """dx + packed (dq,dk,dv) cotangents + recomputed context ``a``.
+
+    Recomputes projections and per-head probabilities in VMEM from the
+    saved inputs (the same cost profile as the forward), so the backward
+    never materializes [B, H, S, S] probability tensors in HBM — the
+    XLA-vjp fallback this replaces re-ran the reference path and paid
+    that traffic for every fused layer. The four weight-grad
+    contractions ride big XLA matmuls outside (see _block_bwd): they
+    contract over (B, Sp), which a per-batch grid cannot feed the MXU
+    efficiently, while dln (tiny [E]) accumulates here across the grid.
+    """
+    b = pl.program_id(0)
+    x = x_ref[0]                       # [Sp, E]
+    gy = g_ref[0]                      # [Sp, E] cotangent (zero padded rows)
+    Sp, E = x.shape
+    D = head_dim
+    f32 = jnp.float32
+
+    @pl.when(b == 0)
+    def _():
+        dln_ref[...] = jnp.zeros(dln_ref.shape, dln_ref.dtype)
+
+    if ln_eps is not None:
+        xf = x.astype(f32)
+        mu = jnp.mean(xf, axis=1, keepdims=True)
+        var = jnp.mean((xf - mu) * (xf - mu), axis=1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + ln_eps)
+        xhat_scr[...] = (xf - mu) * rstd
+        xn = (xhat_scr[...] * lg_ref[...].astype(f32)
+              + lb_ref[...].astype(f32)).astype(x.dtype)
+    else:
+        xn = x
+
+    # recompute projections (same as forward)
+    q_scr[...] = (_mm(xn, wq_ref[...]) * scale
+                  + bq_ref[...].astype(f32) * scale).astype(x.dtype)
+    k_scr[...] = (_mm(xn, wk_ref[...])
+                  + bk_ref[...].astype(f32)).astype(x.dtype)
+    v_scr[...] = (_mm(xn, wv_ref[...])
+                  + bv_ref[...].astype(f32)).astype(x.dtype)
+
+    # da = dL/d(context) = gy @ wo^T
+    da_scr[...] = _dot(gy, wo_ref[...], (((1,), (1,)), ((), ())))
+
+    for g0 in range(0, E, group):
+        q_g = q_scr[:, g0 : g0 + group]
+        k_g = k_scr[:, g0 : g0 + group]
+        v_g = v_scr[:, g0 : g0 + group]
+        da_g = da_scr[:, g0 : g0 + group]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (Sp, group), 1)
+        a_acc = jnp.zeros((Sp, group), f32)
+        dq_acc = jnp.zeros((Sp, group), f32)
+        dk_acc = jnp.zeros((Sp, group), f32)
+        dv_acc = jnp.zeros((Sp, group), f32)
+        for i in range(group // D):
+            m_i = (lanes >= i * D) & (lanes < (i + 1) * D)
+            k_i = jnp.where(m_i, k_g, 0)
+            v_i = jnp.where(m_i, v_g, 0)
+            da_i = jnp.where(m_i, da_g.astype(x.dtype), 0)
+            s = _dot(q_g, k_i, (((1,), (1,)), ((), ())))   # [Sp, Sp] f32
+            if s_valid < Sp:
+                cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(cols < s_valid, s, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            l = jnp.sum(e, axis=-1, keepdims=True)
+            p = e / jnp.where(l == 0.0, 1.0, l)            # [Sp, Sp] f32
+            p_b = p.astype(x.dtype)
+            a_acc = a_acc + jnp.where(m_i, _mm(p_b, v_i), 0.0)
+            # softmax backward: ds = p * (dp - rowsum(dp * p))
+            dp = _dot(da_i, v_i, (((1,), (1,)), ((), ())))  # [Sp, Sp] f32
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds_b = ds.astype(x.dtype)
+            dq_acc = dq_acc + _mm(ds_b, k_i)
+            dk_acc = dk_acc + jnp.where(
+                m_i, _dot(ds_b, jnp.where(m_i, q_g, 0),
+                          (((0,), (0,)), ((), ()))), 0.0)
+            dv_acc = dv_acc + jnp.where(
+                m_i, _dot(p_b, da_i, (((0,), (0,)), ((), ()))), 0.0)
+        a_ref[0, :, g0 : g0 + group] = a_acc.astype(a_ref.dtype)
+        # dq is the grad wrt (xn@wq + bq): forward scaled by `scale` after
+        dqkv_ref[0, :, g0 : g0 + group] = (dq_acc * scale).astype(
+            dqkv_ref.dtype)
+        dqkv_ref[0, :, E + g0 : E + g0 + group] = dk_acc.astype(
+            dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * E + g0 : 2 * E + g0 + group] = dv_acc.astype(
+            dqkv_ref.dtype)
+
+    dq = dqkv_ref[0, :, :E]
+    dk = dqkv_ref[0, :, E : 2 * E]
+    dv = dqkv_ref[0, :, 2 * E :]
+    dxn = (_dot(dq, wq_ref[...], (((1,), (1,)), ((), ())))
+           + _dot(dk, wk_ref[...], (((1,), (1,)), ((), ())))
+           + _dot(dv, wv_ref[...], (((1,), (1,)), ((), ()))))   # [Sp, E] f32
+
+    if ln_eps is not None:
+        xhat = xhat_scr[...]
+        dln_ref[0:1] += jnp.sum(dxn * xhat, axis=0, keepdims=True)
+        dln_ref[1:2] += jnp.sum(dxn, axis=0, keepdims=True)
+        dxhat = dxn * lg_ref[...].astype(f32)
+        h1 = jnp.mean(dxhat, axis=1, keepdims=True)
+        h2 = jnp.mean(dxhat * xhat, axis=1, keepdims=True)
+        dx = rstd * (dxhat - h1 - xhat * h2)
+    else:
+        dx = dxn
+    if residual:
+        dx = dx + gy.astype(f32)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _bwd_viable(Sp: int, E: int, itemsize: int) -> bool:
+    """VMEM upper bound for the backward kernel's resident set."""
+    io = 2 * Sp * E * itemsize                    # x, gy in
+    weights = 4 * E * E * itemsize + 5 * E * itemsize
+    outs = (Sp * E + Sp * 3 * E + Sp * E) * itemsize + 8 * E * 4
+    scr = 4 * Sp * E * itemsize + 2 * Sp * E * 4  # q/k/v/xn + da/xhat f32
+    scores = 3 * Sp * Sp * 4                      # p, dp/ds live f32 tiles
+    return (io + weights + outs + scr + scores) * 2 <= 24 * 1024 * 1024
+
+
 def _block_bwd(ln_eps, s_valid, head_dim, interpret, residual, res, g):
     x, wq, bq, wk, bk, wv, bv, wo, bo, ln_g, ln_b = res
-    E = x.shape[-1]
-    xv = x[:, :s_valid]
+    B, Sp, E = x.shape
     has_ln = ln_eps is not None
+    itemsize = jnp.dtype(x.dtype).itemsize
 
-    def ref(xr, wqr, bqr, wkr, bkr, wvr, bvr, wor, bor, gr, br):
-        ln = (gr, br, ln_eps) if has_ln else None
-        return _xla_reference(xr, wqr, bqr, wkr, bkr, wvr, bvr, wor, bor,
-                              num_heads=E // head_dim, ln=ln,
-                              residual=residual)
+    if not _bwd_viable(Sp, E, itemsize):
+        # reference-vjp fallback (exceeds the kernel's VMEM budget)
+        xv = x[:, :s_valid]
 
-    _, vjp = jax.vjp(
-        ref, xv, wq, bq.reshape(-1), wk, bk.reshape(-1), wv, bv.reshape(-1),
-        wo, bo.reshape(-1), ln_g.reshape(-1), ln_b.reshape(-1))
-    grads = vjp(g[:, :s_valid])
-    dx = grads[0]
-    pad = x.shape[1] - s_valid
-    if pad:
-        dx = jnp.pad(dx, ((0, 0), (0, pad), (0, 0)))
-    out = [dx]
-    for gr_ in grads[1:]:
-        out.append(gr_.reshape(1, -1) if gr_.ndim == 1 else gr_)
-    return tuple(out)
+        def ref(xr, wqr, bqr, wkr, bkr, wvr, bvr, wor, bor, gr, br):
+            ln = (gr, br, ln_eps) if has_ln else None
+            return _xla_reference(xr, wqr, bqr, wkr, bkr, wvr, bvr, wor,
+                                  bor, num_heads=E // head_dim, ln=ln,
+                                  residual=residual)
+
+        _, vjp = jax.vjp(
+            ref, xv, wq, bq.reshape(-1), wk, bk.reshape(-1), wv,
+            bv.reshape(-1), wo, bo.reshape(-1), ln_g.reshape(-1),
+            ln_b.reshape(-1))
+        grads = vjp(g[:, :s_valid])
+        dx = grads[0]
+        pad = x.shape[1] - s_valid
+        if pad:
+            dx = jnp.pad(dx, ((0, 0), (0, pad), (0, 0)))
+        out = [dx]
+        for gr_ in grads[1:]:
+            out.append(gr_.reshape(1, -1) if gr_.ndim == 1 else gr_)
+        return tuple(out)
+
+    group = min(E, _round_up(head_dim, 128))
+    bse = pl.BlockSpec((1, Sp, E), lambda b: (b, 0, 0))
+    mat = pl.BlockSpec((E, E), lambda b: (0, 0))
+    vec = pl.BlockSpec((1, E), lambda b: (0, 0))
+    dx, dqkv, a, dln = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, scale=1.0 / float(np.sqrt(head_dim)),
+            s_valid=s_valid, head_dim=head_dim, group=group,
+            ln_eps=ln_eps, residual=residual),
+        grid=(B,),
+        in_specs=[bse, bse, mat, vec, mat, vec, mat, vec, mat, vec, vec],
+        out_specs=[bse,
+                   pl.BlockSpec((1, Sp, 3 * E), lambda b: (b, 0, 0)),
+                   bse,
+                   pl.BlockSpec((8, E), lambda b: (0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((B, Sp, E), x.dtype),
+                   jax.ShapeDtypeStruct((B, Sp, 3 * E), x.dtype),
+                   jax.ShapeDtypeStruct((B, Sp, E), x.dtype),
+                   jax.ShapeDtypeStruct((8, E), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((Sp, E), x.dtype)] * 3
+        + [pltpu.VMEM((Sp, E), jnp.float32)] * 2,
+        interpret=interpret,
+    )(x, g, wq, bq, wk, bk, wv, bv, wo, ln_g, ln_b)
+
+    # Weight grads: (B, Sp)-contractions — one big MXU matmul each, fed by
+    # the kernel's packed cotangents. xn is recomputed here (elementwise).
+    if has_ln:
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        xn = ((xf - mu) * jax.lax.rsqrt(var + ln_eps)
+              * ln_g.reshape(-1).astype(jnp.float32)
+              + ln_b.reshape(-1).astype(jnp.float32)).astype(x.dtype)
+    else:
+        xn = x
+    dW = jnp.einsum("bse,bsf->ef", xn, dqkv,
+                    preferred_element_type=jnp.float32)
+    dwq = dW[:, :E].astype(wq.dtype)
+    dwk = dW[:, E : 2 * E].astype(wk.dtype)
+    dwv = dW[:, 2 * E :].astype(wv.dtype)
+    dwo = jnp.einsum("bse,bsf->ef", a, g,
+                     preferred_element_type=jnp.float32).astype(wo.dtype)
+    db = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1), keepdims=False)
+    dbq = db[:E].reshape(1, E).astype(bq.dtype)
+    dbk = db[E : 2 * E].reshape(1, E).astype(bk.dtype)
+    dbv = db[2 * E :].reshape(1, E).astype(bv.dtype)
+    dbo = jnp.sum(g.astype(jnp.float32), axis=(0, 1)).reshape(1, E).astype(
+        bo.dtype)
+    if has_ln:
+        dln_g = dln[0].reshape(1, E).astype(ln_g.dtype)
+        dln_b = dln[1].reshape(1, E).astype(ln_b.dtype)
+    else:
+        dln_g = jnp.zeros_like(ln_g)
+        dln_b = jnp.zeros_like(ln_b)
+    return (dx, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo, dln_g, dln_b)
 
 
 _block.defvjp(_block_fwd, _block_bwd)

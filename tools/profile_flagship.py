@@ -20,15 +20,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, iters=20):
+def timeit(fn, *args, iters=10):
+    # sync via ONE device scalar: a per-leaf device_get costs a ~28 ms
+    # tunnel RTT per leaf and inflates grad-tree timings by seconds
+    reduce1 = jax.jit(lambda t: jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.sum(x.astype(jnp.float32)),
+        t, jnp.float32(0)))
+
+    def sync(out):
+        float(jax.device_get(reduce1(out)))
+
     out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: jax.device_get(jnp.sum(x.astype(jnp.float32))), out)
+    sync(out)
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: jax.device_get(jnp.sum(x.astype(jnp.float32))), out)
+    sync(out)
     return (time.time() - t0) / iters
 
 
@@ -75,7 +82,7 @@ def main():
     rows.append(("video encoder (ViT x30 + biLSTM + facial)",
                  timeit(jax.jit(lambda p: ve.apply(p, video)), pv)))
 
-    model = MultimodalEmotionModel(cfg)
+    model = MultimodalEmotionModel(cfg, dtype=dt)
     text_in = {"input_ids": ids, "attention_mask": mask}
     pm = jax.jit(model.init)(jax.random.PRNGKey(3), text_in, wav, video)
     t_full = timeit(jax.jit(

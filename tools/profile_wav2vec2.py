@@ -18,15 +18,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, iters=20):
+def timeit(fn, *args, iters=10):
+    # sync via ONE device scalar: a per-leaf device_get costs a ~28 ms
+    # tunnel RTT per leaf and inflates grad-tree timings by seconds
+    reduce1 = jax.jit(lambda t: jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.sum(x.astype(jnp.float32)),
+        t, jnp.float32(0)))
+
+    def sync(out):
+        float(jax.device_get(reduce1(out)))
+
     out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: jax.device_get(jnp.sum(x.astype(jnp.float32))), out)
+    sync(out)
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: jax.device_get(jnp.sum(x.astype(jnp.float32))), out)
+    sync(out)
     return (time.time() - t0) / iters
 
 
