@@ -121,9 +121,18 @@ class DisentangledSelfAttention(nn.Module):
             )
             pos_k = k_proj(rel_embeddings)   # share_att_key=True
             pos_q = q_proj(rel_embeddings)
+            drop_rate = 0.0 if deterministic else cfg.attention_dropout
+            drop_seed = None
+            if drop_rate:
+                # one int32 per training step/layer from the flax RNG; the
+                # kernel hashes it with (head, q, k) per element
+                drop_seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, np.int32(2**31 - 1),
+                    dtype=jnp.int32)
             ctx = deberta_attention(
                 q, k, v, pos_k, pos_q, attention_mask,
                 span=span, max_position=cfg.max_position_embeddings,
+                dropout_rate=drop_rate, dropout_seed=drop_seed,
             )
             return ctx.reshape(B, S, E)
 
@@ -272,9 +281,11 @@ class DebertaModel(nn.Module):
         from ..ops.pallas.deberta_attention import fused_viable
 
         head_dim = cfg.hidden_size // cfg.num_heads
+        # attention dropout no longer forces the one-hot path: the kernel
+        # applies it in-VMEM from a stateless hash (fwd + bwd regenerate
+        # the same mask), so the fused path serves the training step too
         use_fused = (
             cfg.use_flash
-            and (deterministic or cfg.attention_dropout == 0.0)
             and fused_viable(S, cfg.num_heads, head_dim)
         )
         span = cfg.position_buckets

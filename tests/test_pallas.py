@@ -231,7 +231,9 @@ def test_deberta_fused_attention_grads():
         deberta_attention,
     )
 
-    B, S, H, D, span = 1, 40, 2, 16, 16
+    # B=2 covers the bwd kernel's table-cotangent accumulation across the
+    # batch grid axis (dtc/dtp output blocks revisited per head-group)
+    B, S, H, D, span = 2, 40, 2, 16, 16
     max_pos = 128
     rng = np.random.default_rng(8)
     q = rng.standard_normal((B, S, H, D)).astype(np.float32)
@@ -461,3 +463,127 @@ def test_attention_block_fused_ln_residual():
     for a, e in zip(gf, gu):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                    atol=2e-4, rtol=2e-3)
+
+
+def test_deberta_fused_dropout_matches_hash_reference():
+    """In-kernel stateless attention dropout (interpret mode) is
+    elementwise-identical to the XLA reference evaluating the same
+    (seed, head, q, k) hash, and its drop fraction matches the rate."""
+    from simple_multimodal_tpu.ops.pallas import deberta_attention as da
+
+    B, S, H, D, span = 2, 40, 2, 16, 16
+    max_pos = 128
+    rate, seed = 0.25, 12345
+    rng = np.random.default_rng(11)
+    q = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    v = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    pos_k = rng.standard_normal((2 * span, H, D)).astype(np.float32)
+    pos_q = rng.standard_normal((2 * span, H, D)).astype(np.float32)
+    mask = np.ones((B, S), np.int32)
+    mask[-1, S - 5 :] = 0
+
+    out = da.deberta_attention(q, k, v, pos_k, pos_q, mask, span=span,
+                               max_position=max_pos, interpret=True,
+                               dropout_rate=rate,
+                               dropout_seed=jnp.int32(seed))
+
+    # reference: same padding pipeline, XLA path with the same hash
+    Sp = da._round_up(max(S, da._QBLOCK), da._QBLOCK)
+    pad = Sp - S
+    qp = jnp.swapaxes(jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0))), 1, 2)
+    kp = jnp.swapaxes(jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))), 1, 2)
+    vp = jnp.swapaxes(jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))), 1, 2)
+    mp = jnp.pad(jnp.asarray(mask), ((0, 0), (0, pad)))
+    tc, tp_ = da.build_rel_tables(jnp.asarray(pos_k), jnp.asarray(pos_q),
+                                  Sp, Sp, span, max_pos)
+    ref = da._xla_reference(qp, kp, vp, tc, tp_, mp,
+                            float(1.0 / np.sqrt(3.0 * D)),
+                            jnp.full((1,), seed, jnp.int32), rate)
+    ref = jnp.swapaxes(ref[:, :, :S, :], 1, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=3e-4)
+
+    # statistics: the keep mask drops ~rate of entries
+    u32 = jnp.uint32
+    hb = jax.lax.broadcasted_iota(u32, (B, H, Sp, Sp), 0)
+    hh = jax.lax.broadcasted_iota(u32, (B, H, Sp, Sp), 1)
+    hq = jax.lax.broadcasted_iota(u32, (B, H, Sp, Sp), 2)
+    hk = jax.lax.broadcasted_iota(u32, (B, H, Sp, Sp), 3)
+    keep = da._hash_keep(u32(seed), hb * np.uint32(H) + hh, hq, hk, rate)
+    frac = float(jnp.mean(keep.astype(jnp.float32)))
+    assert abs(frac - (1 - rate)) < 0.01
+
+
+def test_deberta_fused_dropout_grads_match_hash_reference():
+    """Backward through the in-kernel dropout (mask regenerated from the
+    hash, never stored) matches autodiff of the XLA hash-dropout path."""
+    from simple_multimodal_tpu.ops.pallas import deberta_attention as da
+
+    B, S, H, D, span = 1, 40, 2, 16, 16
+    max_pos = 128
+    rate, seed = 0.2, 777
+    rng = np.random.default_rng(12)
+    q = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    v = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    pos_k = rng.standard_normal((2 * span, H, D)).astype(np.float32)
+    pos_q = rng.standard_normal((2 * span, H, D)).astype(np.float32)
+    mask = np.ones((B, S), np.int32)
+    w = rng.standard_normal((B, S, H, D)).astype(np.float32)
+
+    def loss_fused(q, k, v, pos_k, pos_q):
+        out = da.deberta_attention(q, k, v, pos_k, pos_q, mask, span=span,
+                                   max_position=max_pos, interpret=True,
+                                   dropout_rate=rate,
+                                   dropout_seed=jnp.int32(seed))
+        return jnp.sum(out * w)
+
+    Sp = da._round_up(max(S, da._QBLOCK), da._QBLOCK)
+    pad = Sp - S
+    mp = jnp.pad(jnp.asarray(mask), ((0, 0), (0, pad)))
+    seed_arr = jnp.full((1,), seed, jnp.int32)
+
+    def loss_ref(q, k, v, pos_k, pos_q):
+        qp = jnp.swapaxes(jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0))), 1, 2)
+        kp = jnp.swapaxes(jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))), 1, 2)
+        vp = jnp.swapaxes(jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))), 1, 2)
+        tc, tp_ = da.build_rel_tables(pos_k, pos_q, Sp, Sp, span, max_pos)
+        out = da._xla_reference(qp, kp, vp, tc, tp_, mp,
+                                float(1.0 / np.sqrt(3.0 * D)), seed_arr, rate)
+        return jnp.sum(jnp.swapaxes(out[:, :, :S, :], 1, 2) * w)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(q, k, v, pos_k, pos_q)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, pos_k, pos_q)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-4)
+
+
+def test_deberta_model_training_mode_fused_grads_finite():
+    """DebertaModel in training mode (dropout active) engages the fused
+    kernel and produces finite grads through the in-kernel dropout."""
+    import dataclasses as dc
+
+    from simple_multimodal_tpu.models.deberta import DebertaConfig, DebertaModel
+
+    cfg = DebertaConfig.tiny()
+    cfg = dc.replace(cfg, use_flash=True, attention_dropout=0.3,
+                     hidden_dropout=0.1)
+    model = DebertaModel(cfg)
+    ids = np.array([[5, 9, 2, 7, 1, 3, 8, 4] * 3], np.int32)
+    mask = np.ones_like(ids)
+    params = model.init(jax.random.PRNGKey(0), ids, mask)
+
+    def loss(p, rng):
+        h = model.apply(p, ids, mask, deterministic=False,
+                        rngs={"dropout": rng})
+        return jnp.sum(h.astype(jnp.float32) ** 2)
+
+    val, grads = jax.value_and_grad(loss)(params, jax.random.PRNGKey(1))
+    assert np.isfinite(float(val))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+    # a different dropout RNG must change the loss (dropout is live)
+    val2 = loss(params, jax.random.PRNGKey(2))
+    assert float(val) != float(val2)

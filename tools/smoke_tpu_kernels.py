@@ -87,6 +87,47 @@ def smoke_deberta(S=512, B=2, H=12, D=64, span=256):
     ox = jax.jit(lambda p: m_x.apply(p, ids, mask))(p)
     _check("deberta layer", ok, ox, 5e-2)
 
+    # backward: the Pallas bwd kernel (recompute + unskew table grads) vs
+    # autodiff of the XLA one-hot model path, compiled on-chip at base dims.
+    # NB: the loss must be a random-weighted sum, NOT sum(out**2) — the
+    # model ends in a LayerNorm, so sum(LN(x)**2) is ~constant and its
+    # gradient is pure cancellation noise (measured: even the one-hot path
+    # disagrees with ITSELF jit-vs-nojit at 1.0 relative under that loss)
+    w_l = jnp.asarray(rng.standard_normal((B, S, cfg.hidden_size)),
+                      jnp.float32)
+
+    def loss(m):
+        def f(p):
+            out = m.apply(p, ids, mask)
+            return jnp.sum(out.astype(jnp.float32) * w_l) / (B * S)
+        return f
+
+    gk = jax.jit(jax.grad(loss(m_k)))(p)
+    gx = jax.jit(jax.grad(loss(m_x)))(p)
+    for (path, a_), (_, e_) in zip(
+            jax.tree_util.tree_leaves_with_path(gk),
+            jax.tree_util.tree_leaves_with_path(gx)):
+        scl = float(jnp.max(jnp.abs(e_.astype(jnp.float32)))) or 1.0
+        _check("bwd " + jax.tree_util.keystr(path)[-40:], a_ / scl,
+               e_ / scl, 5e-2)
+
+    # training mode: in-kernel dropout fwd+bwd compiles and is finite
+    m_t = DebertaModel(dc.replace(cfg, use_flash=True, attention_dropout=0.1),
+                       dtype=jnp.bfloat16)
+
+    def loss_t(p):
+        out = m_t.apply(p, ids, mask, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(7)})
+        return jnp.sum(out.astype(jnp.float32) ** 2) / (B * S)
+
+    vt, gt = jax.jit(jax.value_and_grad(loss_t))(p)
+    assert np.isfinite(float(vt)), "train-mode fused loss not finite"
+    bad = [jax.tree_util.keystr(path)
+           for path, l in jax.tree_util.tree_leaves_with_path(gt)
+           if not bool(jnp.all(jnp.isfinite(l)))]
+    assert not bad, f"non-finite train-mode grads: {bad}"
+    print("  train-mode (dropout 0.1) fwd+bwd finite on-chip: OK")
+
 
 def smoke_block(S=512, B=4, H=12, E=768):
     # H=12 → head_dim 64 (the ViT/wav2vec2 internal shape). H=8 over 768
@@ -146,6 +187,53 @@ def smoke_block_ln(S=197, B=8, H=12, E=768):
         return x + (ctx @ ws[3] + bs[3])
 
     _check("ln+block+residual", jax.jit(fused)(x), jax.jit(unfused)(x), 5e-2)
+
+    # backward: the Pallas bwd kernel (dx + packed dqkv + a) vs XLA vjp,
+    # compiled on-chip at the ViT stack shape
+    wsum = jnp.asarray(rng.standard_normal((B, S, E)) * 0.1, jnp.float32)
+
+    def loss(fn, x, g, b, ws, bs):
+        ws = [w.astype(jnp.bfloat16) for w in ws]
+        bs_ = [v.astype(jnp.bfloat16) for v in bs]
+        return jnp.sum(fn(x, g, b, ws, bs_).astype(jnp.float32) * wsum)
+
+    def fused_p(x, g, b, ws, bs):
+        return attention_block(x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+                               ws[3], bs[3], num_heads=H,
+                               ln=(g, b, eps), residual=True)
+
+    def unfused_p(x, g, b, ws, bs):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        xn = ((xf - mu) * jax.lax.rsqrt(var + eps)
+              * g.astype(jnp.float32) + b.astype(jnp.float32)
+              ).astype(x.dtype)
+        D = E // H
+        q = (xn @ ws[0] + bs[0]).reshape(B, S, H, D)
+        k = (xn @ ws[1] + bs[1]).reshape(B, S, H, D)
+        v = (xn @ ws[2] + bs[2]).reshape(B, S, H, D)
+        ctx = xla_attention(q, k, v).reshape(B, S, E)
+        return x + (ctx @ ws[3] + bs[3])
+
+    tree = {"x": x.astype(jnp.float32), "g": g.astype(jnp.float32),
+            "b": b.astype(jnp.float32),
+            "ws": [w.astype(jnp.float32) for w in ws],
+            "bs": [v.astype(jnp.float32) for v in bs]}
+
+    def tree_loss(fn, t):
+        return loss(fn, t["x"].astype(jnp.bfloat16),
+                    t["g"].astype(jnp.bfloat16),
+                    t["b"].astype(jnp.bfloat16), t["ws"], t["bs"])
+
+    gf = jax.jit(jax.grad(lambda t: tree_loss(fused_p, t)))(tree)
+    gu = jax.jit(jax.grad(lambda t: tree_loss(unfused_p, t)))(tree)
+    for (path, a_), (_, e_) in zip(
+            jax.tree_util.tree_leaves_with_path(gf),
+            jax.tree_util.tree_leaves_with_path(gu)):
+        scl = float(jnp.max(jnp.abs(e_.astype(jnp.float32)))) or 1.0
+        _check("bwd " + jax.tree_util.keystr(path), a_ / scl, e_ / scl,
+               5e-2)
 
 
 def main():
