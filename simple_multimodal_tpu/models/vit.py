@@ -15,6 +15,7 @@ encoders.py:219, but then pays per-frame CUDA kernels).
 """
 import dataclasses
 import jax
+import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -64,8 +65,9 @@ class ViTLayer(nn.Module):
 
         cfg = self.config
         E, H = cfg.hidden_size, cfg.num_heads
+        # dropout does not gate the kernel: attention dropout runs
+        # in-kernel from a stateless hash (attention_block.py _drop_keep)
         return (cfg.use_flash
-                and (deterministic or cfg.attention_dropout == 0.0)
                 and H * (E // H) == E and block_viable(S, H, E // H, E))
 
     def _attend(self, x, deterministic, fused_w, rows=None):
@@ -87,8 +89,15 @@ class ViTLayer(nn.Module):
             wq, bq, wk, bk, wv, bv, wo, bo = [
                 w.astype(self.dtype) for w in fused_w
             ]
+            drop_rate = (0.0 if deterministic else cfg.attention_dropout)
+            drop_seed = None
+            if drop_rate:
+                drop_seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, np.int32(2**31 - 1),
+                    dtype=jnp.int32)
             return attention_block(x, wq, bq, wk, bk, wv, bv, wo, bo,
-                                   num_heads=H)
+                                   num_heads=H, dropout_rate=drop_rate,
+                                   dropout_seed=drop_seed)
 
         xq = x if rows is None else x[:, :rows]
         Q = xq.shape[1]

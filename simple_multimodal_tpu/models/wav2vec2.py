@@ -160,7 +160,15 @@ class Wav2Vec2EncoderLayer(nn.Module):
 
         fused_ok = (cfg.use_flash
                     and (deterministic or cfg.attention_dropout == 0.0))
-        if fused_ok and H * D == E and block_viable(S, H, D, E):
+        # the block kernel also serves TRAINING: attention dropout runs
+        # in-kernel from a stateless hash (attention_block.py _drop_keep)
+        if cfg.use_flash and H * D == E and block_viable(S, H, D, E):
+            drop_rate = 0.0 if deterministic else cfg.attention_dropout
+            drop_seed = None
+            if drop_rate:
+                drop_seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, np.int32(2**31 - 1),
+                    dtype=jnp.int32)
             wq, bq = DenseParams(E, name="q_proj")(E)
             wk, bk = DenseParams(E, name="k_proj")(E)
             wv, bv = DenseParams(E, name="v_proj")(E)
@@ -170,6 +178,7 @@ class Wav2Vec2EncoderLayer(nn.Module):
                 wk.astype(self.dtype), bk.astype(self.dtype),
                 wv.astype(self.dtype), bv.astype(self.dtype),
                 wo.astype(self.dtype), bo.astype(self.dtype), num_heads=H,
+                dropout_rate=drop_rate, dropout_seed=drop_seed,
             )
         else:
             q = nn.Dense(E, dtype=self.dtype, name="q_proj")(hidden)

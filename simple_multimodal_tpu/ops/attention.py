@@ -133,9 +133,18 @@ class MultiHeadAttention(nn.Module):
         # in-context to their own [B,H,S,S]-operand materialization (see
         # ops/pallas/attention_block.py). Q >= 128 gates out the tiny
         # fusion-token attentions where kernel dispatch dominates.
-        use_block = (fused_ok and query is key and key is value
+        # Dropout does NOT gate the block path: attention dropout runs
+        # in-kernel from a stateless hash, so it serves training too.
+        use_block = (self.use_flash and not need_weights and mask is None
+                     and query is key and key is value
                      and Q >= 128 and block_viable(Q, H, Dh, E))
         if use_block:
+            drop_rate = 0.0 if deterministic else self.dropout
+            drop_seed = None
+            if drop_rate:
+                drop_seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, np.int32(2**31 - 1),
+                    dtype=jnp.int32)
             wq, bq = DenseParams(E, name="q_proj")(E)
             wk, bk = DenseParams(E, name="k_proj")(E)
             wv, bv = DenseParams(E, name="v_proj")(E)
@@ -147,6 +156,7 @@ class MultiHeadAttention(nn.Module):
                 wk.astype(self.dtype), bk.astype(self.dtype),
                 wv.astype(self.dtype), bv.astype(self.dtype),
                 wo.astype(self.dtype), bo.astype(self.dtype), num_heads=H,
+                dropout_rate=drop_rate, dropout_seed=drop_seed,
             )
             return out, None
 

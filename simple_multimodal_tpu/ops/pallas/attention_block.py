@@ -79,9 +79,24 @@ def _mm(a, b):
     return _dot(a, b, (((1,), (0,)), ((), ())))
 
 
+def _drop_keep(seed_ref, b, head, shape, n_heads, rate):
+    """Attention-prob dropout keep mask over a [Sp, Sp] score tile for
+    (batch b, global head) — the same stateless (seed, head, q, k) hash as
+    the DeBERTa kernel (`_hash_keep`), regenerated identically in fwd/bwd
+    so no [B, H, S, S] mask is ever stored. Padded indices hash like any
+    other, so the mask is padding-invariant for the valid region."""
+    from .deberta_attention import _hash_keep
+
+    q_i = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    k_i = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    h = jnp.uint32(b) * np.uint32(n_heads) + np.uint32(head)
+    return _hash_keep(jnp.uint32(seed_ref[0]), h, q_i, k_i, rate)
+
+
 def _kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
-            wo_ref, bo_ref, *rest,
-            scale, s_valid, head_dim, group, ln_eps, residual):
+            wo_ref, bo_ref, seed_ref, *rest,
+            scale, s_valid, head_dim, group, ln_eps, residual, rate,
+            n_heads):
     """``rest``: [g_ref, b_ref,] o_ref, q_scr, k_scr, v_scr, a_scr.
 
     ``ln_eps`` is not None → fuse the pre-LayerNorm: x_ref holds the RAW
@@ -130,7 +145,13 @@ def _kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             l = jnp.sum(p, axis=-1, keepdims=True)
-            probs = (p / jnp.where(l == 0.0, 1.0, l)).astype(x.dtype)
+            p = p / jnp.where(l == 0.0, 1.0, l)
+            if rate:
+                p = jnp.where(
+                    _drop_keep(seed_ref, pl.program_id(0), g0 // D + i,
+                               p.shape, n_heads, rate),
+                    p * (1.0 / (1.0 - rate)), 0.0)
+            probs = p.astype(x.dtype)
             v_i = jnp.where(m_i, v_g, 0)
             ctx = ctx + jnp.where(m_i, _mm(probs, v_i), 0.0)
         a_scr[:, g0 : g0 + group] = ctx.astype(a_scr.dtype)
@@ -141,23 +162,25 @@ def _kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _fused_call(x, wq, bq, wk, bk, wv, bv, wo, bo, ln, s_valid, head_dim,
-                interpret, residual):
+def _fused_call(x, wq, bq, wk, bk, wv, bv, wo, bo, seed, rate, ln, s_valid,
+                head_dim, interpret, residual):
     B, Sp, E = x.shape
     group = min(E, _round_up(head_dim, 128))
     ln_eps = None if ln is None else ln[2]
-    operands = [x, wq, bq, wk, bk, wv, bv, wo, bo]
+    operands = [x, wq, bq, wk, bk, wv, bv, wo, bo, seed]
     mat = pl.BlockSpec((E, E), lambda b: (0, 0))
     vec = pl.BlockSpec((1, E), lambda b: (0, 0))
     in_specs = [pl.BlockSpec((1, Sp, E), lambda b: (b, 0, 0)),
-                mat, vec, mat, vec, mat, vec, mat, vec]
+                mat, vec, mat, vec, mat, vec, mat, vec,
+                pl.BlockSpec(memory_space=pltpu.SMEM)]
     if ln is not None:
         operands += [ln[0].reshape(1, E), ln[1].reshape(1, E)]
         in_specs += [vec, vec]
     return pl.pallas_call(
         functools.partial(_kernel, scale=1.0 / float(np.sqrt(head_dim)),
                           s_valid=s_valid, head_dim=head_dim, group=group,
-                          ln_eps=ln_eps, residual=residual),
+                          ln_eps=ln_eps, residual=residual, rate=rate,
+                          n_heads=E // head_dim),
         grid=(B,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Sp, E), lambda b: (b, 0, 0)),
@@ -168,7 +191,7 @@ def _fused_call(x, wq, bq, wk, bk, wv, bv, wo, bo, ln, s_valid, head_dim,
 
 
 def _xla_reference(x, wq, bq, wk, bk, wv, bv, wo, bo, num_heads,
-                   ln=None, residual=False):
+                   ln=None, residual=False, seed=None, rate=0.0):
     B, S, E = x.shape
     H = num_heads
     D = E // H
@@ -186,7 +209,19 @@ def _xla_reference(x, wq, bq, wk, bk, wv, bv, wo, bo, num_heads,
     v = (xn @ wv + bv).reshape(B, S, H, D)
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                    preferred_element_type=jnp.float32) / np.sqrt(D)
-    p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+    p = jax.nn.softmax(s, axis=-1)
+    if rate:
+        # same stateless hash as the kernel (`_drop_keep`), elementwise
+        from .deberta_attention import _hash_keep
+
+        hb = jax.lax.broadcasted_iota(jnp.uint32, (B, H, S, S), 0)
+        hh = jax.lax.broadcasted_iota(jnp.uint32, (B, H, S, S), 1)
+        hq = jax.lax.broadcasted_iota(jnp.uint32, (B, H, S, S), 2)
+        hk = jax.lax.broadcasted_iota(jnp.uint32, (B, H, S, S), 3)
+        keep = _hash_keep(jnp.uint32(seed.reshape(())),
+                          hb * np.uint32(H) + hh, hq, hk, rate)
+        p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+    p = p.astype(x.dtype)
     ctx = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, S, E)
     out = (ctx.astype(x.dtype) @ wo + bo).astype(jnp.float32)
     if residual:
@@ -194,27 +229,28 @@ def _xla_reference(x, wq, bq, wk, bk, wv, bv, wo, bo, num_heads,
     return out.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15))
-def _block(x, wq, bq, wk, bk, wv, bv, wo, bo, ln_g, ln_b,
-           ln_eps, s_valid, head_dim, interpret, residual):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17))
+def _block(x, wq, bq, wk, bk, wv, bv, wo, bo, ln_g, ln_b, seed,
+           ln_eps, s_valid, head_dim, interpret, residual, rate):
     ln = None if ln_eps is None else (ln_g, ln_b, ln_eps)
-    return _fused_call(x, wq, bq, wk, bk, wv, bv, wo, bo, ln, s_valid,
-                       head_dim, interpret, residual)
+    return _fused_call(x, wq, bq, wk, bk, wv, bv, wo, bo, seed, rate, ln,
+                       s_valid, head_dim, interpret, residual)
 
 
-def _block_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, ln_g, ln_b,
-               ln_eps, s_valid, head_dim, interpret, residual):
+def _block_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, ln_g, ln_b, seed,
+               ln_eps, s_valid, head_dim, interpret, residual, rate):
     ln = None if ln_eps is None else (ln_g, ln_b, ln_eps)
-    out = _fused_call(x, wq, bq, wk, bk, wv, bv, wo, bo, ln, s_valid,
-                      head_dim, interpret, residual)
-    return out, (x, wq, bq, wk, bk, wv, bv, wo, bo, ln_g, ln_b)
+    out = _fused_call(x, wq, bq, wk, bk, wv, bv, wo, bo, seed, rate, ln,
+                      s_valid, head_dim, interpret, residual)
+    return out, (x, wq, bq, wk, bk, wv, bv, wo, bo, ln_g, ln_b, seed)
 
 
 def _bwd_kernel(x_ref, g_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
-                bv_ref, wo_ref, lg_ref, lb_ref,
+                bv_ref, wo_ref, lg_ref, lb_ref, seed_ref,
                 dx_ref, dqkv_ref, a_ref, dln_ref,
                 q_scr, k_scr, v_scr, da_scr, xhat_scr,
-                *, scale, s_valid, head_dim, group, ln_eps, residual):
+                *, scale, s_valid, head_dim, group, ln_eps, residual, rate,
+                n_heads):
     """dx + packed (dq,dk,dv) cotangents + recomputed context ``a``.
 
     Recomputes projections and per-head probabilities in VMEM from the
@@ -282,10 +318,19 @@ def _bwd_kernel(x_ref, g_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
             e = jnp.exp(s - m)
             l = jnp.sum(e, axis=-1, keepdims=True)
             p = e / jnp.where(l == 0.0, 1.0, l)            # [Sp, Sp] f32
-            p_b = p.astype(x.dtype)
+            if rate:
+                keep = _drop_keep(seed_ref, b, g0 // D + i, p.shape,
+                                  n_heads, rate)
+                p_drop = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+            else:
+                p_drop = p
+            p_b = p_drop.astype(x.dtype)
             a_acc = a_acc + jnp.where(m_i, _mm(p_b, v_i), 0.0)
-            # softmax backward: ds = p * (dp - rowsum(dp * p))
+            # softmax backward through the dropout mask:
+            # dL/dp = keep/(1-rate) * (da · vᵀ); ds = p * (dp - rowsum(dp*p))
             dp = _dot(da_i, v_i, (((1,), (1,)), ((), ())))  # [Sp, Sp] f32
+            if rate:
+                dp = jnp.where(keep, dp * (1.0 / (1.0 - rate)), 0.0)
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
             ds_b = ds.astype(x.dtype)
             dq_acc = dq_acc + _mm(ds_b, k_i)
@@ -335,11 +380,12 @@ def _bwd_viable(Sp: int, E: int, itemsize: int) -> bool:
     return (io + weights + outs + scr + scores) * 2 <= 24 * 1024 * 1024
 
 
-def _block_bwd(ln_eps, s_valid, head_dim, interpret, residual, res, g):
-    x, wq, bq, wk, bk, wv, bv, wo, bo, ln_g, ln_b = res
+def _block_bwd(ln_eps, s_valid, head_dim, interpret, residual, rate, res, g):
+    x, wq, bq, wk, bk, wv, bv, wo, bo, ln_g, ln_b, seed = res
     B, Sp, E = x.shape
     has_ln = ln_eps is not None
     itemsize = jnp.dtype(x.dtype).itemsize
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
 
     if not _bwd_viable(Sp, E, itemsize):
         # reference-vjp fallback (exceeds the kernel's VMEM budget)
@@ -349,7 +395,7 @@ def _block_bwd(ln_eps, s_valid, head_dim, interpret, residual, res, g):
             ln = (gr, br, ln_eps) if has_ln else None
             return _xla_reference(xr, wqr, bqr, wkr, bkr, wvr, bvr, wor,
                                   bor, num_heads=E // head_dim, ln=ln,
-                                  residual=residual)
+                                  residual=residual, seed=seed, rate=rate)
 
         _, vjp = jax.vjp(
             ref, xv, wq, bq.reshape(-1), wk, bk.reshape(-1), wv,
@@ -363,7 +409,7 @@ def _block_bwd(ln_eps, s_valid, head_dim, interpret, residual, res, g):
         out = [dx]
         for gr_ in grads[1:]:
             out.append(gr_.reshape(1, -1) if gr_.ndim == 1 else gr_)
-        return tuple(out)
+        return tuple(out) + (dseed,)
 
     group = min(E, _round_up(head_dim, 128))
     bse = pl.BlockSpec((1, Sp, E), lambda b: (b, 0, 0))
@@ -373,9 +419,11 @@ def _block_bwd(ln_eps, s_valid, head_dim, interpret, residual, res, g):
         functools.partial(
             _bwd_kernel, scale=1.0 / float(np.sqrt(head_dim)),
             s_valid=s_valid, head_dim=head_dim, group=group,
-            ln_eps=ln_eps, residual=residual),
+            ln_eps=ln_eps, residual=residual, rate=rate,
+            n_heads=E // head_dim),
         grid=(B,),
-        in_specs=[bse, bse, mat, vec, mat, vec, mat, vec, mat, vec, vec],
+        in_specs=[bse, bse, mat, vec, mat, vec, mat, vec, mat, vec, vec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[bse,
                    pl.BlockSpec((1, Sp, 3 * E), lambda b: (b, 0, 0)),
                    bse,
@@ -387,7 +435,7 @@ def _block_bwd(ln_eps, s_valid, head_dim, interpret, residual, res, g):
         scratch_shapes=[pltpu.VMEM((Sp, E), x.dtype)] * 3
         + [pltpu.VMEM((Sp, E), jnp.float32)] * 2,
         interpret=interpret,
-    )(x, g, wq, bq, wk, bk, wv, bv, wo, ln_g, ln_b)
+    )(x, g, wq, bq, wk, bk, wv, bv, wo, ln_g, ln_b, seed)
 
     # Weight grads: (B, Sp)-contractions — one big MXU matmul each, fed by
     # the kernel's packed cotangents. xn is recomputed here (elementwise).
@@ -419,7 +467,7 @@ def _block_bwd(ln_eps, s_valid, head_dim, interpret, residual, res, g):
     else:
         dln_g = jnp.zeros_like(ln_g)
         dln_b = jnp.zeros_like(ln_b)
-    return (dx, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo, dln_g, dln_b)
+    return (dx, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo, dln_g, dln_b, dseed)
 
 
 _block.defvjp(_block_fwd, _block_bwd)
@@ -446,6 +494,8 @@ def attention_block(
     interpret: Optional[bool] = None,
     ln: Optional[tuple] = None,
     residual: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Fused attention block over hidden states x [B, S, E].
 
@@ -454,11 +504,23 @@ def attention_block(
     (LN output never touches HBM); ``residual=True`` fuses ``out += x``.
     Together they make the kernel the whole pre-LN attention sub-block:
     ``x + proj(attn(LN(x)))``. Returns [B, S, E] in x's dtype.
+
+    dropout_rate > 0 applies attention-prob dropout IN-KERNEL from a
+    stateless (dropout_seed, head, q, k) hash (`_drop_keep`) so the fused
+    path serves the training step; the backward regenerates the identical
+    mask. dropout_seed: scalar int32 (one per step from the flax RNG).
     """
     from .spmd import resolve_mesh
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    rate = float(dropout_rate)
+    if rate:
+        if dropout_seed is None:
+            raise ValueError("dropout_rate > 0 requires dropout_seed")
+        seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
     B, S, E = x.shape
     D = E // num_heads
     bq2, bk2, bv2, bo2 = (b.reshape(1, E) for b in (bq, bk, bv, bo))
@@ -466,7 +528,8 @@ def attention_block(
     mesh, fallback = resolve_mesh(B, 1)  # heads stay whole per shard
     if fallback:
         return _xla_reference(x, wq, bq, wk, bk, wv, bv, wo, bo, num_heads,
-                              ln=ln, residual=residual)
+                              ln=ln, residual=residual, seed=seed,
+                              rate=rate)
 
     Sp = _pad_s(S, jnp.dtype(x.dtype).itemsize)
     if Sp != S:
@@ -481,9 +544,13 @@ def attention_block(
         ln_b = jnp.zeros((1, E), x.dtype)
         ln_eps = None
 
-    def fn(x_, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_, g_, b_):
+    def fn(x_, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_, g_, b_, s_):
+        if rate and mesh is not None:
+            # decorrelate shards: the kernel hashes LOCAL batch indices
+            s_ = s_ + (jax.lax.axis_index("data") * 1000003).astype(
+                jnp.int32)
         return _block(x_, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_, g_, b_,
-                      ln_eps, S, D, interpret, residual)
+                      s_, ln_eps, S, D, interpret, residual, rate)
 
     if mesh is not None:
         from jax import shard_map
@@ -492,7 +559,7 @@ def attention_block(
         bse = P("data", None, None)
         rep = P()
         fn = shard_map(fn, mesh=mesh,
-                       in_specs=(bse,) + (rep,) * 10, out_specs=bse,
+                       in_specs=(bse,) + (rep,) * 11, out_specs=bse,
                        check_vma=False)
-    out = fn(x, wq, bq2, wk, bk2, wv, bv2, wo, bo2, ln_g, ln_b)
+    out = fn(x, wq, bq2, wk, bk2, wv, bv2, wo, bo2, ln_g, ln_b, seed)
     return out[:, :S]

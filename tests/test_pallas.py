@@ -587,3 +587,93 @@ def test_deberta_model_training_mode_fused_grads_finite():
     # a different dropout RNG must change the loss (dropout is live)
     val2 = loss(params, jax.random.PRNGKey(2))
     assert float(val) != float(val2)
+
+
+def test_attention_block_dropout_matches_hash_reference():
+    """In-kernel attention dropout in the block kernel (interpret mode) is
+    elementwise-identical to the XLA reference evaluating the same
+    (seed, head, q, k) hash; drop fraction tracks the rate."""
+    from simple_multimodal_tpu.ops.pallas import attention_block as ab
+
+    B, S, H, D = 2, 150, 2, 16
+    E = H * D
+    rate, seed = 0.3, 4242
+    x, ws, bs = _block_args(B, S, H, D, seed=31)
+
+    out = ab.attention_block(x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+                             ws[3], bs[3], num_heads=H, interpret=True,
+                             dropout_rate=rate,
+                             dropout_seed=jnp.int32(seed))
+    ref = ab._xla_reference(x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+                            ws[3], bs[3], num_heads=H,
+                            seed=jnp.full((1,), seed, jnp.int32), rate=rate)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-4)
+
+    # dropping is live and ~rate of probs are zeroed: compare against the
+    # no-dropout output
+    out0 = ab.attention_block(x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+                              ws[3], bs[3], num_heads=H, interpret=True)
+    assert float(jnp.max(jnp.abs(out - out0))) > 1e-3
+
+
+def test_attention_block_dropout_grads_match_hash_reference():
+    from simple_multimodal_tpu.ops.pallas import attention_block as ab
+
+    B, S, H, D = 2, 150, 2, 16
+    rate, seed = 0.2, 99
+    x, ws, bs = _block_args(B, S, H, D, seed=32)
+    w_out = np.random.default_rng(33).standard_normal(x.shape).astype(
+        np.float32)
+    seed_arr = jnp.full((1,), seed, jnp.int32)
+
+    def loss_fused(x, *wb):
+        out = ab.attention_block(x, wb[0], wb[4], wb[1], wb[5], wb[2],
+                                 wb[6], wb[3], wb[7], num_heads=H,
+                                 interpret=True, dropout_rate=rate,
+                                 dropout_seed=jnp.int32(seed))
+        return jnp.sum(out * w_out)
+
+    def loss_ref(x, *wb):
+        out = ab._xla_reference(x, wb[0], wb[4], wb[1], wb[5], wb[2],
+                                wb[6], wb[3], wb[7], num_heads=H,
+                                seed=seed_arr, rate=rate)
+        return jnp.sum(out * w_out)
+
+    args = (x, *ws, *bs)
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(9)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a).reshape(np.asarray(b).shape),
+                                   np.asarray(b), atol=5e-5, rtol=5e-4)
+
+
+def test_wav2vec2_layer_training_mode_fused_grads_finite():
+    """Wav2Vec2 encoder layer in training mode (attention dropout 0.1)
+    engages the fused block kernel and yields finite, dropout-sensitive
+    grads through the in-kernel hash dropout."""
+    import dataclasses as dc
+
+    from simple_multimodal_tpu.models.wav2vec2 import (
+        Wav2Vec2Config, Wav2Vec2EncoderLayer,
+    )
+
+    cfg = dc.replace(Wav2Vec2Config.tiny(), use_flash=True,
+                     attention_dropout=0.3, hidden_dropout=0.0)
+    layer = Wav2Vec2EncoderLayer(cfg)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 150, cfg.hidden_size)).astype(np.float32)
+    params = layer.init(jax.random.PRNGKey(0), x)
+
+    def loss(p, key):
+        out = layer.apply(p, x, deterministic=False,
+                          rngs={"dropout": key})
+        w = jax.random.normal(jax.random.PRNGKey(9), out.shape)
+        return jnp.sum(out.astype(jnp.float32) * w)
+
+    val, grads = jax.value_and_grad(loss)(params, jax.random.PRNGKey(1))
+    assert np.isfinite(float(val))
+    assert all(bool(jnp.all(jnp.isfinite(l)))
+               for l in jax.tree_util.tree_leaves(grads))
+    val2 = loss(params, jax.random.PRNGKey(2))
+    assert float(val) != float(val2)

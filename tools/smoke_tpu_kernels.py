@@ -147,6 +147,39 @@ def smoke_block(S=512, B=4, H=12, E=768):
     ox, _ = jax.jit(lambda p: m_x.apply(p, x, x, x, need_weights=False))(p)
     _check("attention block", ok, ox, 5e-2)
 
+    # in-kernel dropout: kernel vs the XLA hash reference, fwd + grads,
+    # compiled on-chip at the wav2vec2 stack shape
+    from simple_multimodal_tpu.ops.pallas import attention_block as ab
+
+    rate, seed = 0.1, 1234
+    seed_arr = jnp.full((1,), seed, jnp.int32)
+    rngw = np.random.default_rng(3)
+    ws = [jnp.asarray(rngw.standard_normal((E, E)) * 0.05, jnp.bfloat16)
+          for _ in range(4)]
+    bs = [jnp.asarray(rngw.standard_normal((E,)) * 0.05, jnp.bfloat16)
+          for _ in range(4)]
+    w_l = jnp.asarray(rngw.standard_normal((B, S, E)), jnp.float32)
+
+    def loss_k(x, *wb):
+        out = ab.attention_block(x, wb[0], wb[4], wb[1], wb[5], wb[2],
+                                 wb[6], wb[3], wb[7], num_heads=H,
+                                 dropout_rate=rate,
+                                 dropout_seed=jnp.int32(seed))
+        return jnp.sum(out.astype(jnp.float32) * w_l)
+
+    def loss_r(x, *wb):
+        out = ab._xla_reference(x, wb[0], wb[4], wb[1], wb[5], wb[2],
+                                wb[6], wb[3], wb[7], num_heads=H,
+                                seed=seed_arr, rate=rate)
+        return jnp.sum(out.astype(jnp.float32) * w_l)
+
+    args = (x, *ws, *bs)
+    gk = jax.jit(jax.grad(loss_k, argnums=(0, 1, 5)))(*args)
+    gr = jax.jit(jax.grad(loss_r, argnums=(0, 1, 5)))(*args)
+    for name, a, e in zip(("drop dx", "drop dwq", "drop dbq"), gk, gr):
+        scl = float(jnp.max(jnp.abs(e.astype(jnp.float32)))) or 1.0
+        _check(name, a / scl, e / scl, 5e-2)
+
 
 def smoke_block_ln(S=197, B=8, H=12, E=768):
     """The whole pre-LN attention sub-block (LN + qkv + attn + out-proj +
