@@ -133,6 +133,32 @@ class ViTLayer(nn.Module):
 
     def _ffn(self, hidden, deterministic):
         cfg = self.config
+        E, F = cfg.hidden_size, cfg.intermediate_size
+        S = hidden.shape[1]
+        from ..ops.pallas.ffn_block import ffn_block, ffn_viable
+
+        # Whole pre-LN FFN sub-block in ONE kernel: hidden +
+        # W2·gelu(W1·LN(hidden)). The [S, F] intermediate (the largest
+        # remaining HBM tensor once attention is fused — ~290 MB/layer at
+        # the 240×197 ViT stack shape) never leaves VMEM. Dropout between
+        # the FFN and the residual gates the fusion off (ViT-base has
+        # hidden_dropout=0, so training fuses too); S >= 64 skips the
+        # CLS-rows path where dispatch would dominate.
+        if (cfg.use_flash and S >= 64
+                and (deterministic or cfg.hidden_dropout == 0.0)
+                and ffn_viable(S, E, F, jnp.dtype(self.dtype).itemsize)):
+            from ..ops.attention import DenseParams, LayerNormParams
+
+            g, b = LayerNormParams(name="layernorm_after")(E)
+            w1, b1 = DenseParams(F, name="intermediate_dense")(E)
+            w2, b2 = DenseParams(E, name="output_dense")(F)
+            return ffn_block(
+                hidden, w1.astype(self.dtype), b1.astype(self.dtype),
+                w2.astype(self.dtype), b2.astype(self.dtype),
+                ln=(g.astype(self.dtype), b.astype(self.dtype),
+                    cfg.layer_norm_eps),
+                ln_post=False, residual=True,
+            )
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="layernorm_after")(hidden)
         x = nn.Dense(cfg.intermediate_size, dtype=self.dtype,

@@ -205,6 +205,28 @@ class Wav2Vec2EncoderLayer(nn.Module):
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                               name="layer_norm")(hidden + attn)
 
+        from ..ops.pallas.ffn_block import ffn_block, ffn_viable
+
+        F = cfg.intermediate_size
+        # Post-LN FFN sub-block in ONE kernel: LN(hidden + W2·gelu(W1·h)) —
+        # the [S, F] intermediate never leaves VMEM. The two hidden
+        # dropouts sit inside the fused span, so training (rate > 0)
+        # keeps the unfused path.
+        if (cfg.use_flash and (deterministic or cfg.hidden_dropout == 0.0)
+                and ffn_viable(S, E, F, jnp.dtype(self.dtype).itemsize)):
+            from ..ops.attention import DenseParams, LayerNormParams
+
+            w1, b1 = DenseParams(F, name="intermediate_dense")(E)
+            w2, b2 = DenseParams(E, name="output_dense")(F)
+            g, b = LayerNormParams(name="final_layer_norm")(E)
+            out = ffn_block(
+                hidden, w1.astype(self.dtype), b1.astype(self.dtype),
+                w2.astype(self.dtype), b2.astype(self.dtype),
+                ln=(g.astype(self.dtype), b.astype(self.dtype),
+                    cfg.layer_norm_eps),
+                ln_post=True, residual=True,
+            )
+            return (out, None) if self.scan else out
         ff = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
                       name="intermediate_dense")(hidden)
         ff = gelu(ff, self.dtype)

@@ -677,3 +677,62 @@ def test_wav2vec2_layer_training_mode_fused_grads_finite():
                for l in jax.tree_util.tree_leaves(grads))
     val2 = loss(params, jax.random.PRNGKey(2))
     assert float(val) != float(val2)
+
+
+@pytest.mark.parametrize("ln_mode", ["pre", "post", "none"])
+def test_ffn_block_matches_reference(ln_mode):
+    """The fused FFN kernel (matmul→GELU→matmul with the [S, F]
+    intermediate resident in VMEM) reproduces the XLA composition in all
+    three LayerNorm placements (interpret mode on CPU)."""
+    from simple_multimodal_tpu.ops.pallas import ffn_block as fb
+
+    B, S, E, F = 2, 150, 32, 128
+    rng = np.random.default_rng(41)
+    x = rng.standard_normal((B, S, E)).astype(np.float32)
+    w1 = (rng.standard_normal((E, F)) * 0.1).astype(np.float32)
+    b1 = (rng.standard_normal((F,)) * 0.1).astype(np.float32)
+    w2 = (rng.standard_normal((F, E)) * 0.1).astype(np.float32)
+    b2 = (rng.standard_normal((E,)) * 0.1).astype(np.float32)
+    g = rng.standard_normal((E,)).astype(np.float32)
+    b = rng.standard_normal((E,)).astype(np.float32)
+    ln = None if ln_mode == "none" else (g, b, 1e-7)
+    ln_post = ln_mode == "post"
+
+    out = fb.ffn_block(x, w1, b1, w2, b2, ln=ln, ln_post=ln_post,
+                       residual=True, interpret=True)
+    ref = fb._xla_reference(x, w1, b1, w2, b2, ln=ln, ln_post=ln_post,
+                            residual=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-4)
+
+
+def test_ffn_block_grads():
+    from simple_multimodal_tpu.ops.pallas import ffn_block as fb
+
+    B, S, E, F = 1, 130, 32, 64  # ragged rows exercise the pad-trim VJP
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal((B, S, E)).astype(np.float32)
+    w1 = (rng.standard_normal((E, F)) * 0.1).astype(np.float32)
+    b1 = (rng.standard_normal((F,)) * 0.1).astype(np.float32)
+    w2 = (rng.standard_normal((F, E)) * 0.1).astype(np.float32)
+    b2 = (rng.standard_normal((E,)) * 0.1).astype(np.float32)
+    g = rng.standard_normal((E,)).astype(np.float32)
+    b = rng.standard_normal((E,)).astype(np.float32)
+    w_out = rng.standard_normal(x.shape).astype(np.float32)
+
+    def loss_fused(x, w1, b1, w2, b2, g, b):
+        out = fb.ffn_block(x, w1, b1, w2, b2, ln=(g, b, 1e-7),
+                           ln_post=True, residual=True, interpret=True)
+        return jnp.sum(out * w_out)
+
+    def loss_ref(x, w1, b1, w2, b2, g, b):
+        out = fb._xla_reference(x, w1, b1, w2, b2, ln=(g, b, 1e-7),
+                                ln_post=True, residual=True)
+        return jnp.sum(out * w_out)
+
+    args = (x, w1, b1, w2, b2, g, b)
+    gf = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for a, e in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a).reshape(np.asarray(e).shape),
+                                   np.asarray(e), atol=5e-5, rtol=5e-4)

@@ -269,6 +269,31 @@ def smoke_block_ln(S=197, B=8, H=12, E=768):
                5e-2)
 
 
+def smoke_ffn(B=240, S=197, E=768, F=3072):
+    """Fused FFN block at the ViT stack shape (the [S, F] intermediate is
+    ~290 MB/layer in HBM on the unfused path), both LN placements."""
+    from simple_multimodal_tpu.ops.pallas import ffn_block as fb
+
+    print("fused FFN block vs XLA composition:")
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((B, S, E)), jnp.bfloat16)
+    w1 = jnp.asarray(rng.standard_normal((E, F)) * 0.05, jnp.bfloat16)
+    b1 = jnp.asarray(rng.standard_normal((F,)) * 0.05, jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((F, E)) * 0.05, jnp.bfloat16)
+    b2 = jnp.asarray(rng.standard_normal((E,)) * 0.05, jnp.bfloat16)
+    g = jnp.asarray(rng.standard_normal((E,)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((E,)), jnp.bfloat16)
+
+    for post in (False, True):
+        ln = (g, b, 1e-7)
+        out = jax.jit(lambda x: fb.ffn_block(x, w1, b1, w2, b2, ln=ln,
+                                             ln_post=post, residual=True))(x)
+        ref = jax.jit(lambda x: fb._xla_reference(x, w1, b1, w2, b2, ln=ln,
+                                                  ln_post=post,
+                                                  residual=True))(x)
+        _check(f"ffn ln_post={post}", out, ref, 5e-2)
+
+
 def main():
     if jax.default_backend() != "tpu":
         raise SystemExit("needs a TPU backend (got %s)" % jax.default_backend())
@@ -277,6 +302,7 @@ def main():
     smoke_deberta()
     smoke_block()
     smoke_block_ln()
+    smoke_ffn()
     print("all kernel smokes passed on-chip")
 
 
