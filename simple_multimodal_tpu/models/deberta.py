@@ -224,12 +224,18 @@ class DebertaLayer(nn.Module):
         S = hidden.shape[1]
         # Post-LN FFN sub-block in ONE kernel: LN(hidden + W2·gelu(W1·h))
         # — the [S, F] intermediate never leaves VMEM. The hidden dropout
-        # sits inside the fused span, so training (rate > 0) keeps the
-        # unfused path.
-        if (cfg.use_flash and (deterministic or cfg.hidden_dropout == 0.0)
+        # (FFN output, pre-residual) runs in-kernel from a stateless
+        # hash, so the fused path serves training too.
+        if (cfg.use_flash
                 and ffn_viable(S, E, F, jnp.dtype(self.dtype).itemsize)):
             from ..ops.attention import DenseParams, LayerNormParams
 
+            rate = 0.0 if deterministic else cfg.hidden_dropout
+            seed = None
+            if rate:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, np.int32(2**31 - 1),
+                    dtype=jnp.int32)
             w1, b1 = DenseParams(F, name="intermediate_dense")(E)
             w2, b2 = DenseParams(E, name="output_dense")(F)
             g, b = LayerNormParams(name="output_ln")(E)
@@ -239,6 +245,7 @@ class DebertaLayer(nn.Module):
                 ln=(g.astype(self.dtype), b.astype(self.dtype),
                     cfg.layer_norm_eps),
                 ln_post=True, residual=True,
+                dropout_rate_out=rate, dropout_seed=seed,
             )
             return (out, None) if self.scan else out
         inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype,

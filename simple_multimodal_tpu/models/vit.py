@@ -140,15 +140,20 @@ class ViTLayer(nn.Module):
         # Whole pre-LN FFN sub-block in ONE kernel: hidden +
         # W2·gelu(W1·LN(hidden)). The [S, F] intermediate (the largest
         # remaining HBM tensor once attention is fused — ~290 MB/layer at
-        # the 240×197 ViT stack shape) never leaves VMEM. Dropout between
-        # the FFN and the residual gates the fusion off (ViT-base has
-        # hidden_dropout=0, so training fuses too); S >= 64 skips the
-        # CLS-rows path where dispatch would dominate.
+        # the 240×197 ViT stack shape) never leaves VMEM. Hidden dropout
+        # (FFN output, pre-residual) runs in-kernel from a stateless
+        # hash, so training fuses too; S >= 64 skips the CLS-rows path
+        # where dispatch would dominate.
         if (cfg.use_flash and S >= 64
-                and (deterministic or cfg.hidden_dropout == 0.0)
                 and ffn_viable(S, E, F, jnp.dtype(self.dtype).itemsize)):
             from ..ops.attention import DenseParams, LayerNormParams
 
+            rate = 0.0 if deterministic else cfg.hidden_dropout
+            seed = None
+            if rate:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, np.int32(2**31 - 1),
+                    dtype=jnp.int32)
             g, b = LayerNormParams(name="layernorm_after")(E)
             w1, b1 = DenseParams(F, name="intermediate_dense")(E)
             w2, b2 = DenseParams(E, name="output_dense")(F)
@@ -158,6 +163,7 @@ class ViTLayer(nn.Module):
                 ln=(g.astype(self.dtype), b.astype(self.dtype),
                     cfg.layer_norm_eps),
                 ln_post=False, residual=True,
+                dropout_rate_out=rate, dropout_seed=seed,
             )
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="layernorm_after")(hidden)

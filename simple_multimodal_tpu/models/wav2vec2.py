@@ -209,13 +209,20 @@ class Wav2Vec2EncoderLayer(nn.Module):
 
         F = cfg.intermediate_size
         # Post-LN FFN sub-block in ONE kernel: LN(hidden + W2·gelu(W1·h)) —
-        # the [S, F] intermediate never leaves VMEM. The two hidden
-        # dropouts sit inside the fused span, so training (rate > 0)
-        # keeps the unfused path.
-        if (cfg.use_flash and (deterministic or cfg.hidden_dropout == 0.0)
+        # the [S, F] intermediate never leaves VMEM. Both hidden dropouts
+        # (post-GELU intermediate + FFN output, matching the unfused
+        # composition below) run in-kernel from a stateless hash, so the
+        # fused path serves training too.
+        if (cfg.use_flash
                 and ffn_viable(S, E, F, jnp.dtype(self.dtype).itemsize)):
             from ..ops.attention import DenseParams, LayerNormParams
 
+            rate = 0.0 if deterministic else cfg.hidden_dropout
+            seed = None
+            if rate:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, np.int32(2**31 - 1),
+                    dtype=jnp.int32)
             w1, b1 = DenseParams(F, name="intermediate_dense")(E)
             w2, b2 = DenseParams(E, name="output_dense")(F)
             g, b = LayerNormParams(name="final_layer_norm")(E)
@@ -225,6 +232,8 @@ class Wav2Vec2EncoderLayer(nn.Module):
                 ln=(g.astype(self.dtype), b.astype(self.dtype),
                     cfg.layer_norm_eps),
                 ln_post=True, residual=True,
+                dropout_rate_mid=rate, dropout_rate_out=rate,
+                dropout_seed=seed,
             )
             return (out, None) if self.scan else out
         ff = nn.Dense(cfg.intermediate_size, dtype=self.dtype,

@@ -736,3 +736,52 @@ def test_ffn_block_grads():
     for a, e in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a).reshape(np.asarray(e).shape),
                                    np.asarray(e), atol=5e-5, rtol=5e-4)
+
+
+def test_ffn_block_dropout_matches_hash_reference():
+    """In-kernel hidden dropout (intermediate + output draws) in the FFN
+    kernel is elementwise-identical to the XLA hash reference, fwd and
+    grads (interpret mode)."""
+    from simple_multimodal_tpu.ops.pallas import ffn_block as fb
+
+    B, S, E, F = 2, 140, 32, 64
+    r_mid, r_out, seed = 0.25, 0.1, 321
+    rng = np.random.default_rng(43)
+    x = rng.standard_normal((B, S, E)).astype(np.float32)
+    w1 = (rng.standard_normal((E, F)) * 0.1).astype(np.float32)
+    b1 = (rng.standard_normal((F,)) * 0.1).astype(np.float32)
+    w2 = (rng.standard_normal((F, E)) * 0.1).astype(np.float32)
+    b2 = (rng.standard_normal((E,)) * 0.1).astype(np.float32)
+    g = rng.standard_normal((E,)).astype(np.float32)
+    b = rng.standard_normal((E,)).astype(np.float32)
+    seed_arr = jnp.full((1,), seed, jnp.int32)
+    w_out = rng.standard_normal(x.shape).astype(np.float32)
+
+    def f_fused(x, w1, b1, w2, b2, g, b):
+        return fb.ffn_block(x, w1, b1, w2, b2, ln=(g, b, 1e-7),
+                            ln_post=True, residual=True, interpret=True,
+                            dropout_rate_mid=r_mid, dropout_rate_out=r_out,
+                            dropout_seed=jnp.int32(seed))
+
+    def f_ref(x, w1, b1, w2, b2, g, b):
+        return fb._xla_reference(x, w1, b1, w2, b2, ln=(g, b, 1e-7),
+                                 ln_post=True, residual=True,
+                                 seed=seed_arr, rate_mid=r_mid,
+                                 rate_out=r_out)
+
+    args = (x, w1, b1, w2, b2, g, b)
+    np.testing.assert_allclose(np.asarray(f_fused(*args)),
+                               np.asarray(f_ref(*args)),
+                               atol=5e-5, rtol=5e-4)
+    # dropout is live
+    ref0 = fb._xla_reference(x, w1, b1, w2, b2, ln=(g, b, 1e-7),
+                             ln_post=True, residual=True)
+    assert float(jnp.max(jnp.abs(f_fused(*args) - ref0))) > 1e-3
+
+    gf = jax.grad(lambda *a: jnp.sum(f_fused(*a) * w_out),
+                  argnums=tuple(range(7)))(*args)
+    gr = jax.grad(lambda *a: jnp.sum(f_ref(*a) * w_out),
+                  argnums=tuple(range(7)))(*args)
+    for a, e in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a).reshape(np.asarray(e).shape),
+                                   np.asarray(e), atol=5e-5, rtol=5e-4)
