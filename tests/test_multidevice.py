@@ -284,3 +284,58 @@ def test_spmd_deberta_attention_grads():
     for a, b in zip(g_mesh, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_spmd_kernel_dropout_paths():
+    """Training-mode kernel dropout under a (4,2) mesh: the per-shard seed
+    decorrelation (axis_index inside shard_map) compiles and runs for all
+    three fused kernels, deterministically for a fixed seed."""
+    import jax.numpy as jnp
+
+    from simple_multimodal_tpu.ops.pallas.attention_block import (
+        attention_block,
+    )
+    from simple_multimodal_tpu.ops.pallas.deberta_attention import (
+        deberta_attention,
+    )
+    from simple_multimodal_tpu.ops.pallas.ffn_block import ffn_block
+    from simple_multimodal_tpu.parallel.mesh import make_mesh, set_current_mesh
+
+    rng = np.random.default_rng(33)
+    B, S, H, D, span = 8, 40, 2, 16, 16
+    E = H * D
+    q = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    pos = rng.standard_normal((2 * span, H, D)).astype(np.float32)
+    mask = np.ones((B, S), np.int32)
+    x = rng.standard_normal((B, 140, E)).astype(np.float32)
+    ws = [(rng.standard_normal((E, E)) * 0.1).astype(np.float32)
+          for _ in range(4)]
+    bs = [(rng.standard_normal((E,)) * 0.1).astype(np.float32)
+          for _ in range(4)]
+    w1 = (rng.standard_normal((E, 4 * E)) * 0.1).astype(np.float32)
+    b1 = (rng.standard_normal((4 * E,)) * 0.1).astype(np.float32)
+    w2 = (rng.standard_normal((4 * E, E)) * 0.1).astype(np.float32)
+    b2 = (rng.standard_normal((E,)) * 0.1).astype(np.float32)
+    seed = jnp.int32(777)
+
+    make_mesh((4, 2))
+    try:
+        att = deberta_attention(q, q, q, pos, pos, mask, span=span,
+                                max_position=128, dropout_rate=0.2,
+                                dropout_seed=seed)
+        att2 = deberta_attention(q, q, q, pos, pos, mask, span=span,
+                                 max_position=128, dropout_rate=0.2,
+                                 dropout_seed=seed)
+        assert np.isfinite(np.asarray(att)).all()
+        np.testing.assert_array_equal(np.asarray(att), np.asarray(att2))
+
+        blk = attention_block(x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+                              ws[3], bs[3], num_heads=H, dropout_rate=0.2,
+                              dropout_seed=seed)
+        assert np.isfinite(np.asarray(blk)).all()
+
+        ffn = ffn_block(x, w1, b1, w2, b2, dropout_rate_mid=0.2,
+                        dropout_rate_out=0.1, dropout_seed=seed)
+        assert np.isfinite(np.asarray(ffn)).all()
+    finally:
+        set_current_mesh(None)
