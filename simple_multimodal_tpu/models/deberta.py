@@ -121,14 +121,10 @@ class DisentangledSelfAttention(nn.Module):
             )
             pos_k = k_proj(rel_embeddings)   # share_att_key=True
             pos_q = q_proj(rel_embeddings)
-            drop_rate = 0.0 if deterministic else cfg.attention_dropout
-            drop_seed = None
-            if drop_rate:
-                # one int32 per training step/layer from the flax RNG; the
-                # kernel hashes it with (head, q, k) per element
-                drop_seed = jax.random.randint(
-                    self.make_rng("dropout"), (), 0, np.int32(2**31 - 1),
-                    dtype=jnp.int32)
+            from ..ops.attention import kernel_dropout_seed
+
+            drop_rate, drop_seed = kernel_dropout_seed(
+                self, 0.0 if deterministic else cfg.attention_dropout)
             ctx = deberta_attention(
                 q, k, v, pos_k, pos_q, attention_mask,
                 span=span, max_position=cfg.max_position_embeddings,
@@ -228,14 +224,12 @@ class DebertaLayer(nn.Module):
         # hash, so the fused path serves training too.
         if (cfg.use_flash
                 and ffn_viable(S, E, F, jnp.dtype(self.dtype).itemsize)):
-            from ..ops.attention import DenseParams, LayerNormParams
+            from ..ops.attention import (
+                DenseParams, LayerNormParams, kernel_dropout_seed,
+            )
 
-            rate = 0.0 if deterministic else cfg.hidden_dropout
-            seed = None
-            if rate:
-                seed = jax.random.randint(
-                    self.make_rng("dropout"), (), 0, np.int32(2**31 - 1),
-                    dtype=jnp.int32)
+            rate, seed = kernel_dropout_seed(
+                self, 0.0 if deterministic else cfg.hidden_dropout)
             w1, b1 = DenseParams(F, name="intermediate_dense")(E)
             w2, b2 = DenseParams(E, name="output_dense")(F)
             g, b = LayerNormParams(name="output_ln")(E)

@@ -89,12 +89,10 @@ class ViTLayer(nn.Module):
             wq, bq, wk, bk, wv, bv, wo, bo = [
                 w.astype(self.dtype) for w in fused_w
             ]
-            drop_rate = (0.0 if deterministic else cfg.attention_dropout)
-            drop_seed = None
-            if drop_rate:
-                drop_seed = jax.random.randint(
-                    self.make_rng("dropout"), (), 0, np.int32(2**31 - 1),
-                    dtype=jnp.int32)
+            from ..ops.attention import kernel_dropout_seed
+
+            drop_rate, drop_seed = kernel_dropout_seed(
+                self, 0.0 if deterministic else cfg.attention_dropout)
             return attention_block(x, wq, bq, wk, bk, wv, bv, wo, bo,
                                    num_heads=H, dropout_rate=drop_rate,
                                    dropout_seed=drop_seed)
@@ -146,14 +144,12 @@ class ViTLayer(nn.Module):
         # where dispatch would dominate.
         if (cfg.use_flash and S >= 64
                 and ffn_viable(S, E, F, jnp.dtype(self.dtype).itemsize)):
-            from ..ops.attention import DenseParams, LayerNormParams
+            from ..ops.attention import (
+                DenseParams, LayerNormParams, kernel_dropout_seed,
+            )
 
-            rate = 0.0 if deterministic else cfg.hidden_dropout
-            seed = None
-            if rate:
-                seed = jax.random.randint(
-                    self.make_rng("dropout"), (), 0, np.int32(2**31 - 1),
-                    dtype=jnp.int32)
+            rate, seed = kernel_dropout_seed(
+                self, 0.0 if deterministic else cfg.hidden_dropout)
             g, b = LayerNormParams(name="layernorm_after")(E)
             w1, b1 = DenseParams(F, name="intermediate_dense")(E)
             w2, b2 = DenseParams(E, name="output_dense")(F)
@@ -186,9 +182,13 @@ class ViTLayer(nn.Module):
         # so training fuses too).
         if (fused_w is not None and rows is None
                 and (deterministic or cfg.hidden_dropout == 0.0)):
-            from ..ops.attention import LayerNormParams
+            from ..ops.attention import LayerNormParams, kernel_dropout_seed
             from ..ops.pallas.attention_block import attention_block
 
+            # attention-prob dropout runs IN-KERNEL (the sub-block fusion
+            # only requires the attn-output hidden dropout to be off)
+            drop_rate, drop_seed = kernel_dropout_seed(
+                self, 0.0 if deterministic else cfg.attention_dropout)
             g, b = LayerNormParams(name="layernorm_before")(cfg.hidden_size)
             wq, bq, wk, bk, wv, bv, wo, bo = [
                 w.astype(self.dtype) for w in fused_w
@@ -199,6 +199,7 @@ class ViTLayer(nn.Module):
                 ln=(g.astype(self.dtype), b.astype(self.dtype),
                     cfg.layer_norm_eps),
                 residual=True,
+                dropout_rate=drop_rate, dropout_seed=drop_seed,
             )
             return self._ffn(h, deterministic)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,

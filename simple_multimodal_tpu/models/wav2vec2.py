@@ -163,12 +163,10 @@ class Wav2Vec2EncoderLayer(nn.Module):
         # the block kernel also serves TRAINING: attention dropout runs
         # in-kernel from a stateless hash (attention_block.py _drop_keep)
         if cfg.use_flash and H * D == E and block_viable(S, H, D, E):
-            drop_rate = 0.0 if deterministic else cfg.attention_dropout
-            drop_seed = None
-            if drop_rate:
-                drop_seed = jax.random.randint(
-                    self.make_rng("dropout"), (), 0, np.int32(2**31 - 1),
-                    dtype=jnp.int32)
+            from ..ops.attention import kernel_dropout_seed
+
+            drop_rate, drop_seed = kernel_dropout_seed(
+                self, 0.0 if deterministic else cfg.attention_dropout)
             wq, bq = DenseParams(E, name="q_proj")(E)
             wk, bk = DenseParams(E, name="k_proj")(E)
             wv, bv = DenseParams(E, name="v_proj")(E)
@@ -215,14 +213,12 @@ class Wav2Vec2EncoderLayer(nn.Module):
         # fused path serves training too.
         if (cfg.use_flash
                 and ffn_viable(S, E, F, jnp.dtype(self.dtype).itemsize)):
-            from ..ops.attention import DenseParams, LayerNormParams
+            from ..ops.attention import (
+                DenseParams, LayerNormParams, kernel_dropout_seed,
+            )
 
-            rate = 0.0 if deterministic else cfg.hidden_dropout
-            seed = None
-            if rate:
-                seed = jax.random.randint(
-                    self.make_rng("dropout"), (), 0, np.int32(2**31 - 1),
-                    dtype=jnp.int32)
+            rate, seed = kernel_dropout_seed(
+                self, 0.0 if deterministic else cfg.hidden_dropout)
             w1, b1 = DenseParams(F, name="intermediate_dense")(E)
             w2, b2 = DenseParams(E, name="output_dense")(F)
             g, b = LayerNormParams(name="final_layer_norm")(E)

@@ -63,6 +63,18 @@ def use_flash_attention(config) -> bool:
     return bool(fa)
 
 
+def kernel_dropout_seed(module: nn.Module, rate: float):
+    """Per-step scalar int32 seed for the fused kernels' stateless hash
+    dropout, drawn from the module's 'dropout' RNG collection. Returns
+    (rate, seed) with seed=None when rate is 0 — the single place the
+    seed-derivation convention lives (width, collection name)."""
+    if not rate:
+        return 0.0, None
+    seed = jax.random.randint(module.make_rng("dropout"), (), 0,
+                              np.int32(2**31 - 1), dtype=jnp.int32)
+    return float(rate), seed
+
+
 class DenseParams(nn.Module):
     """Creates the exact parameter tree of an ``nn.Dense`` (kernel + bias,
     same names/inits) WITHOUT computing the matmul — for layers that hand
@@ -139,12 +151,8 @@ class MultiHeadAttention(nn.Module):
                      and query is key and key is value
                      and Q >= 128 and block_viable(Q, H, Dh, E))
         if use_block:
-            drop_rate = 0.0 if deterministic else self.dropout
-            drop_seed = None
-            if drop_rate:
-                drop_seed = jax.random.randint(
-                    self.make_rng("dropout"), (), 0, np.int32(2**31 - 1),
-                    dtype=jnp.int32)
+            drop_rate, drop_seed = kernel_dropout_seed(
+                self, 0.0 if deterministic else self.dropout)
             wq, bq = DenseParams(E, name="q_proj")(E)
             wk, bk = DenseParams(E, name="k_proj")(E)
             wv, bv = DenseParams(E, name="v_proj")(E)

@@ -248,7 +248,7 @@ def _block_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, ln_g, ln_b, seed,
 def _bwd_kernel(x_ref, g_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
                 bv_ref, wo_ref, lg_ref, lb_ref, seed_ref,
                 dx_ref, dqkv_ref, a_ref, dln_ref,
-                q_scr, k_scr, v_scr, da_scr, xhat_scr,
+                q_scr, k_scr, v_scr, da_scr, xhat_scr=None,
                 *, scale, s_valid, head_dim, group, ln_eps, residual, rate,
                 n_heads):
     """dx + packed (dq,dk,dv) cotangents + recomputed context ``a``.
@@ -370,12 +370,14 @@ def _bwd_kernel(x_ref, g_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
-def _bwd_viable(Sp: int, E: int, itemsize: int) -> bool:
+def _bwd_viable(Sp: int, E: int, itemsize: int, has_ln: bool) -> bool:
     """VMEM upper bound for the backward kernel's resident set."""
     io = 2 * Sp * E * itemsize                    # x, gy in
     weights = 4 * E * E * itemsize + 5 * E * itemsize
     outs = (Sp * E + Sp * 3 * E + Sp * E) * itemsize + 8 * E * 4
-    scr = 4 * Sp * E * itemsize + 2 * Sp * E * 4  # q/k/v/xn + da/xhat f32
+    scr = 3 * Sp * E * itemsize + Sp * E * 4      # q/k/v + da f32
+    if has_ln:
+        scr += Sp * E * 4                         # xhat f32 (LN only)
     scores = 3 * Sp * Sp * 4                      # p, dp/ds live f32 tiles
     return (io + weights + outs + scr + scores) * 2 <= 24 * 1024 * 1024
 
@@ -387,7 +389,7 @@ def _block_bwd(ln_eps, s_valid, head_dim, interpret, residual, rate, res, g):
     itemsize = jnp.dtype(x.dtype).itemsize
     dseed = np.zeros(seed.shape, jax.dtypes.float0)
 
-    if not _bwd_viable(Sp, E, itemsize):
+    if not _bwd_viable(Sp, E, itemsize, has_ln):
         # reference-vjp fallback (exceeds the kernel's VMEM budget)
         xv = x[:, :s_valid]
 
@@ -433,7 +435,7 @@ def _block_bwd(ln_eps, s_valid, head_dim, interpret, residual, rate, res, g):
                    jax.ShapeDtypeStruct((B, Sp, E), x.dtype),
                    jax.ShapeDtypeStruct((8, E), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((Sp, E), x.dtype)] * 3
-        + [pltpu.VMEM((Sp, E), jnp.float32)] * 2,
+        + [pltpu.VMEM((Sp, E), jnp.float32)] * (2 if has_ln else 1),
         interpret=interpret,
     )(x, g, wq, bq, wk, bk, wv, bv, wo, ln_g, ln_b, seed)
 

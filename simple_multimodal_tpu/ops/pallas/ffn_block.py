@@ -306,6 +306,10 @@ def ffn_block(
                               rate_mid=rate_mid, rate_out=rate_out)
 
     R = _pick_rows(S, E, F, jnp.dtype(x.dtype).itemsize)
+    if not R:  # shape exceeds the VMEM budget: plain XLA composition
+        return _xla_reference(x, w1, b1, w2, b2, ln=ln, ln_post=ln_post,
+                              residual=residual, seed=seed,
+                              rate_mid=rate_mid, rate_out=rate_out)
     Sp = _pad_rows(S, R)
     if Sp != S:
         x = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0)))

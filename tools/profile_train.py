@@ -18,23 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, iters=10):
-    # sync via ONE device scalar: a per-leaf device_get costs a ~28 ms
-    # tunnel RTT per leaf and inflates grad-tree timings by seconds
-    reduce1 = jax.jit(lambda t: jax.tree_util.tree_reduce(
-        lambda a, x: a + jnp.sum(x.astype(jnp.float32)),
-        t, jnp.float32(0)))
-
-    def sync(out):
-        float(jax.device_get(reduce1(out)))
-
-    out = fn(*args)
-    sync(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    sync(out)
-    return (time.time() - t0) / iters
+from _timing import timeit  # noqa: E402
 
 
 def main():
