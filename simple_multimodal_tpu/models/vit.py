@@ -60,7 +60,7 @@ class ViTLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     scan: bool = False  # under nn.scan the body must return (carry, ys)
 
-    def _use_fused(self, S: int, deterministic: bool) -> bool:
+    def _use_fused(self, S: int) -> bool:
         from ..ops.pallas.attention_block import block_viable
 
         cfg = self.config
@@ -234,7 +234,7 @@ class ViTLayer(nn.Module):
         from ..ops.attention import DenseParams
 
         fused_w = None
-        if self._use_fused(S, deterministic):
+        if self._use_fused(S):
             wq, bq = DenseParams(E, name="query")(E)
             wk, bk = DenseParams(E, name="key")(E)
             wv, bv = DenseParams(E, name="value")(E)

@@ -1,6 +1,7 @@
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -293,5 +294,3 @@ def test_train_step_with_fused_kernels_and_dropout(tiny_config):
         params, state.params)
     assert max(jax.tree_util.tree_leaves(moved)) > 0
 
-
-import jax.numpy as jnp  # noqa: E402 (used above)
