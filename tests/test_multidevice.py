@@ -339,3 +339,35 @@ def test_spmd_kernel_dropout_paths():
         assert np.isfinite(np.asarray(ffn)).all()
     finally:
         set_current_mesh(None)
+
+
+def test_dp_train_step_with_fused_kernels(setup):
+    """Full train step with flash forced on over an (8,1) mesh: the three
+    fused kernels (+ their Pallas backwards and in-kernel dropout) compose
+    with nn.scan, shard_map, donation, and the sharded batch."""
+    import copy
+
+    c, model, batch, params = setup
+    # deepcopy, not dataclasses.replace: fusion_type is attached after
+    # construction (reference-parity config style) and replace drops it
+    c = copy.deepcopy(c)
+    c.flash_attention = True
+    model = MultimodalEmotionModel(c)
+    dev_batch = {k: batch[k] for k in ("text", "audio", "video", "emotion")}
+
+    mesh = make_mesh((8, 1))
+    try:
+        p = jax.device_put(params, NamedSharding(mesh, P()))
+        tx = make_optimizer(c, p, total_steps=10)
+        state = TrainState.create(p, tx, jax.random.PRNGKey(3))
+        step = make_train_step(model, tx, c, augment=False,
+                               compute_contrastive_loss=False)
+        b = _put_batch(dev_batch, batch_sharding(mesh))
+        state, parts = step(state, b)
+        state, parts = step(state, _put_batch(dev_batch,
+                                              batch_sharding(mesh)))
+        assert np.isfinite(float(parts["total_loss"]))
+    finally:
+        from simple_multimodal_tpu.parallel.mesh import set_current_mesh
+
+        set_current_mesh(None)
