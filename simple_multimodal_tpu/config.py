@@ -90,11 +90,16 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # Gradient-checkpoint (remat) the encoder transformer stacks.
     remat_encoders: bool = True
-    # Route encoder attention through the Pallas flash kernel (fwd + custom
-    # VJP). "auto" enables it on a single-chip TPU; True/False force it.
-    # Attention-dropout layers (DeBERTa/wav2vec2) keep the XLA path while
-    # dropout is active so training stochasticity matches the reference.
+    # Route encoder attention through the Pallas fused kernels (fwd +
+    # custom VJP; in-kernel stateless-hash dropout when training). "auto"
+    # enables them on TPU backends; True/False force.
     flash_attention: object = "auto"
+    # Separate gate for TRAINING steps (grad traces). "auto" follows
+    # `flash_attention` — measured on v5e (RESULTS.md round 4): fused fwd
+    # + dedicated Pallas backwards wins the train step (423 ms vs 543
+    # all-XLA vs 681 fused-fwd/XLA-bwd at the base flagship). True/False
+    # force independently of the eval path (safety valve / A-B knob).
+    flash_attention_train: object = "auto"
     # Video wire format across the host→device boundary: "rgb8" ships
     # uint8 RGB frames (already 4x smaller than the reference's f32
     # tensors); "yuv420" additionally 4:2:0-subsamples chroma (half the

@@ -28,8 +28,15 @@ from .vit import ViTConfig, ViTModel
 from .wav2vec2 import Wav2Vec2Config, Wav2Vec2Model
 
 
-def resolve_backbone_configs(config):
-    """Pick backbone dimension presets from a ModelConfig."""
+def resolve_backbone_configs(config, deterministic: bool = True):
+    """Pick backbone dimension presets from a ModelConfig.
+
+    ``deterministic=False`` (a training trace) resolves the kernel
+    engagement from ``flash_attention_train`` instead of
+    ``flash_attention`` — the two modes gate independently because their
+    in-context winners were measured separately on v5e (RESULTS.md
+    round 4; both currently fused, but the train gate is the safety
+    valve the round-3 OOM showed is needed)."""
     preset = getattr(config, "encoder_preset", "base")
     if preset == "tiny":
         text = DebertaConfig.tiny()
@@ -50,7 +57,7 @@ def resolve_backbone_configs(config):
         vit = dataclasses.replace(
             ViTConfig.base(), image_size=config.video_frame_size[0]
         )
-    flash = use_flash_attention(config)
+    flash = use_flash_attention(config, train=not deterministic)
     text = dataclasses.replace(text, use_flash=flash)
     audio = dataclasses.replace(audio, use_flash=flash)
     vit = dataclasses.replace(vit, use_flash=flash)
@@ -69,7 +76,7 @@ class TextEncoder(nn.Module):
                  use_adapter: bool = False, use_prompt: bool = False,
                  deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         cfg = self.config
-        text_cfg, _, _ = resolve_backbone_configs(cfg)
+        text_cfg, _, _ = resolve_backbone_configs(cfg, deterministic)
         backbone = DebertaModel(
             text_cfg, dtype=self.dtype, remat=getattr(cfg, "remat_encoders", False),
             name="model",
@@ -134,7 +141,7 @@ class AudioEncoder(nn.Module):
             # audio ships across the host→device boundary as int16 (the WAV
             # source precision): half the transfer bytes, dequantized here
             waveform = waveform.astype(self.dtype) / 32768.0
-        _, audio_cfg, _ = resolve_backbone_configs(cfg)
+        _, audio_cfg, _ = resolve_backbone_configs(cfg, deterministic)
         sequence_output = Wav2Vec2Model(
             audio_cfg, dtype=self.dtype,
             remat=getattr(cfg, "remat_encoders", False), name="model",
@@ -180,7 +187,7 @@ class VideoEncoder(nn.Module):
     def __call__(self, video_frames: jnp.ndarray, use_adapter: bool = False,
                  deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         cfg = self.config
-        _, _, vit_cfg = resolve_backbone_configs(cfg)
+        _, _, vit_cfg = resolve_backbone_configs(cfg, deterministic)
         from ..data.video_wire import decode_video_wire
 
         video_frames = decode_video_wire(video_frames, self.dtype)

@@ -47,14 +47,33 @@ def gelu(x: jnp.ndarray, dtype) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=dtype == jnp.bfloat16)
 
 
-def use_flash_attention(config) -> bool:
+def use_flash_attention(config, train: bool = False) -> bool:
     """Resolve a ModelConfig's flash_attention flag.
 
     "auto" → on for TPU backends regardless of mesh size: the kernels
     shard_map themselves over the ambient mesh (ops/pallas/spmd.py), so
     multi-chip no longer disables them. On CPU the kernels would run in
     interpreter mode (tests only) — auto stays off there. True/False force.
+
+    ``train=True`` (a grad trace, i.e. deterministic=False) resolves
+    ``flash_attention_train`` instead — an independent gate because the
+    in-context winner differs per mode and was measured three ways on v5e
+    at the base flagship (RESULTS.md round 4): fused fwd + dedicated
+    Pallas bwd 423 ms/step BEATS all-XLA 543 ms/step, but fused fwd with
+    only XLA-vjp backwards LOSES at 681 ms/step (custom-call residual
+    saves cost HBM traffic XLA's whole-graph fusion avoids; the dedicated
+    bwd kernels recompute in VMEM and win it back). "auto" therefore
+    follows the ``flash_attention`` resolution — fused on TPU — and the
+    field remains a forcing knob / safety valve (with SMM_PALLAS_BWD=0
+    as the bwd-only A/B switch).
     """
+    if train:
+        fat = getattr(config, "flash_attention_train", "auto")
+        if isinstance(fat, str) and fat == "auto":
+            return use_flash_attention(config, train=False)
+        if isinstance(fat, str):
+            return fat.lower() in ("1", "true", "yes", "on")
+        return bool(fat)
     fa = getattr(config, "flash_attention", "auto")
     if isinstance(fa, str):
         if fa != "auto":

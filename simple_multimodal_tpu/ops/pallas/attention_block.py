@@ -389,8 +389,11 @@ def _block_bwd(ln_eps, s_valid, head_dim, interpret, residual, rate, res, g):
     itemsize = jnp.dtype(x.dtype).itemsize
     dseed = np.zeros(seed.shape, jax.dtypes.float0)
 
-    if not _bwd_viable(Sp, E, itemsize, has_ln):
-        # reference-vjp fallback (exceeds the kernel's VMEM budget)
+    from .deberta_attention import _force_xla_bwd
+
+    if not _bwd_viable(Sp, E, itemsize, has_ln) or _force_xla_bwd():
+        # reference-vjp fallback (exceeds the kernel's VMEM budget, or
+        # the SMM_PALLAS_BWD=0 A/B knob)
         xv = x[:, :s_valid]
 
         def ref(xr, wqr, bqr, wkr, bkr, wvr, bvr, wor, bor, gr, br):

@@ -62,6 +62,15 @@ _VMEM_BUDGET = 11 * 1024 * 1024
 _QBLOCK = 128  # row-block for the skew (7 roll passes; static table windows)
 
 
+def _force_xla_bwd() -> bool:
+    """SMM_PALLAS_BWD=0 routes every custom-VJP backward through the XLA
+    reference vjp instead of the dedicated Pallas bwd kernels — the A/B
+    knob for measuring the bwd kernels in-context (and a safety valve)."""
+    import os
+
+    return os.environ.get("SMM_PALLAS_BWD", "1") == "0"
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -79,7 +88,7 @@ def _head_group(H, Sq, Sk, D, itemsize) -> int:
         windows = 3 * g * (max(Sq, Sk) + _QBLOCK) * _QBLOCK * 4
         if qkv + tables + scores + windows <= _VMEM_BUDGET:
             return g
-    return 1
+    return 0  # not even g=1 fits: caller must take the XLA path
 
 
 def _skew_cols(x, n_rows, interpret):
@@ -302,18 +311,28 @@ def _fused_call(q, k, v, t_c2p, t_p2c, mask, seed, rate, inv_scale,
 
 
 def _bwd_head_group(H, Sq, Sk, D, itemsize) -> int:
-    """Largest divisor of H whose backward per-program buffers fit VMEM."""
+    """Largest divisor of H whose backward per-program buffers fit VMEM.
+
+    Calibrated against a measured on-chip scoped-vmem OOM: at base dims
+    (H=12 S=512 D=64 bf16) under the full train step the g=2 program's
+    real stack was 17.84 MB (8.92 MB/group) against the 16 MB scoped
+    limit, 1.74x the old single-buffered estimate — Mosaic double-buffers
+    the grid-streamed in/out refs and keeps extra f32 temporaries. Budget
+    the streamed refs at 2x and cap the estimate at 8 MB so the real
+    stack (~1.15x this estimate) keeps several MB of headroom.
+    """
     W = Sq + Sk
+    budget = 8 * 1024 * 1024
     for g in range(H, 0, -1):
         if H % g:
             continue
-        io = 4 * g * max(Sq, Sk) * D * itemsize * 2      # q/k/v/gy in
-        outs = 3 * g * max(Sq, Sk) * D * itemsize * 2    # dq/dk/dv
-        tables = 2 * g * W * D * itemsize * 2            # tc/tp in
+        io = 4 * g * max(Sq, Sk) * D * itemsize * 2 * 2  # q/k/v/gy in (dbuf)
+        outs = 3 * g * max(Sq, Sk) * D * itemsize * 2 * 2  # dq/dk/dv (dbuf)
+        tables = 2 * g * W * D * itemsize * 2 * 2        # tc/tp in (dbuf)
         tgrads = 2 * g * W * D * 4                       # dtc/dtp f32 resident
         scores = 2 * g * Sq * Sk * 4                     # p + ds f32 scratch
         temps = 4 * g * (max(Sq, Sk) + _QBLOCK) * _QBLOCK * 4
-        if io + outs + tables + tgrads + scores + temps <= _VMEM_BUDGET:
+        if io + outs + tables + tgrads + scores + temps <= budget:
             return g
     return 0
 
@@ -519,6 +538,8 @@ def _attn_bwd(rate, inv_scale, interpret, res, g):
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     G = _bwd_head_group(H, Sq, Sk, D, q.dtype.itemsize)
+    if _force_xla_bwd():  # A/B knob: SMM_PALLAS_BWD=0 (see tools/)
+        G = 0
     if G:
         dq, dk, dv, dtc, dtp = _bwd_call(
             q, k, v, t_c2p, t_p2c, mask, seed, g, rate, inv_scale,
@@ -543,10 +564,13 @@ _attn.defvjp(_attn_fwd, _attn_bwd)
 
 def fused_viable(S: int, H: int, D: int, itemsize: int = 2) -> bool:
     """True when the fused kernel's per-program buffers can fit VMEM (the
-    whole padded sequence is resident; covers every reference length)."""
+    whole padded sequence is resident; covers every reference length).
+
+    Derived from the SAME formula `_head_group` budgets with (g=1 worst
+    case, including the skew-window temps and double-buffered qkv), so a
+    shape that passes here can never overflow at Mosaic compile time."""
     Sp = _round_up(max(S, _QBLOCK), _QBLOCK)
-    # G=1 worst case must fit
-    return Sp * Sp * 4 + 2 * (2 * Sp) * D * itemsize * 2 <= _VMEM_BUDGET
+    return _head_group(H, Sp, Sp, D, itemsize) > 0
 
 
 def deberta_attention(
@@ -614,6 +638,8 @@ def deberta_attention(
     from .spmd import resolve_mesh
 
     mesh, fallback = resolve_mesh(B, H)
+    # shapes whose g=1 buffers exceed VMEM can't run the kernel at all
+    fallback = fallback or _head_group(H, Sp, Sp, D, q.dtype.itemsize) == 0
     if fallback:
         out = _xla_reference(qt, kt, vt, tc, tp, mask, inv_scale, seed, rate)
     elif mesh is not None:

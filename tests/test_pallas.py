@@ -785,3 +785,87 @@ def test_ffn_block_dropout_matches_hash_reference():
     for a, e in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a).reshape(np.asarray(e).shape),
                                    np.asarray(e), atol=5e-5, rtol=5e-4)
+
+
+# ---- stateless hash dropout: statistical validation ------------------------
+# The in-kernel dropout replaces the reference's PRNG dropout in TRAINING
+# (/root/reference/models/encoders.py dropout modules); a biased or
+# correlated mask would silently change regularization. These check that
+# `_hash_keep` is Bernoulli-like: keep-rate inside a binomial CI, no
+# autocorrelation along any index axis, and decorrelation across the
+# per-shard seed offsets used by the SPMD wrappers.
+
+
+def _keep_mask(seed, head, nq, nk, rate):
+    from simple_multimodal_tpu.ops.pallas.deberta_attention import _hash_keep
+
+    q = jax.lax.broadcasted_iota(jnp.uint32, (nq, nk), 0)
+    k = jax.lax.broadcasted_iota(jnp.uint32, (nq, nk), 1)
+    return np.asarray(_hash_keep(jnp.uint32(seed), jnp.uint32(head),
+                                 q, k, rate))
+
+
+def test_hash_dropout_keep_rate_binomial_ci():
+    rate = 0.1
+    for seed, head in ((0, 0), (12345, 3), (2**31 - 1, 11)):
+        m = _keep_mask(seed, head, 512, 512, rate)
+        n = m.size
+        p_hat = m.mean()
+        sigma = np.sqrt(rate * (1 - rate) / n)  # ≈ 5.9e-4 at n = 512²
+        assert abs(p_hat - (1 - rate)) < 6 * sigma, (seed, head, p_hat)
+
+
+def test_hash_dropout_no_autocorrelation():
+    """Lag-1..4 autocorrelation along q, k, head, and seed axes must be
+    noise-level (|r| ≲ 5/√n for ±1-coded Bernoulli)."""
+    rate = 0.1
+
+    def corr(a, b):
+        a = a.astype(np.float64) - a.mean()
+        b = b.astype(np.float64) - b.mean()
+        d = np.sqrt((a * a).sum() * (b * b).sum())
+        return float((a * b).sum() / d) if d else 0.0
+
+    m = _keep_mask(7, 2, 512, 512, rate)
+    bound = 5.0 / np.sqrt(m[:-4].size)
+    for lag in (1, 2, 3, 4):
+        assert abs(corr(m[lag:], m[:-lag])) < bound          # along q
+        assert abs(corr(m[:, lag:], m[:, :-lag])) < bound    # along k
+    # along head and seed: same (q, k) grid, adjacent head/seed values
+    heads = [_keep_mask(7, h, 256, 256, rate) for h in range(4)]
+    seeds = [_keep_mask(s, 2, 256, 256, rate) for s in range(4)]
+    bound = 5.0 / np.sqrt(heads[0].size)
+    for a, b in zip(heads[1:], heads[:-1]):
+        assert abs(corr(a, b)) < bound
+    for a, b in zip(seeds[1:], seeds[:-1]):
+        assert abs(corr(a, b)) < bound
+
+
+def test_hash_dropout_cross_shard_decorrelation():
+    """The SPMD wrappers offset the seed by axis_index·1000003 (data) and
+    axis_index·7919 (model); masks under offset seeds must agree at the
+    independent-Bernoulli rate p² + (1-p)², not above it (no lattice)."""
+    rate = 0.1
+    p = 1 - rate
+    expect = p * p + rate * rate
+    base = 424242
+    m0 = _keep_mask(base, 5, 512, 512, rate)
+    n = m0.size
+    sigma = np.sqrt(expect * (1 - expect) / n)
+    for off in (1000003, 2 * 1000003, 7919, 3 * 7919, 1000003 + 7919):
+        m1 = _keep_mask((base + off) & 0xFFFFFFFF, 5, 512, 512, rate)
+        agree = (m0 == m1).mean()
+        assert abs(agree - expect) < 6 * sigma, (off, agree)
+
+
+def test_hash_dropout_row_column_balance():
+    """No row or column of the mask may be systematically starved: each
+    row/column keep-count stays within a 6σ binomial band (512 draws)."""
+    rate = 0.1
+    m = _keep_mask(99, 1, 512, 512, rate)
+    sigma = np.sqrt(rate * (1 - rate) * 512)
+    lo, hi = 512 * (1 - rate) - 6 * sigma, 512 * (1 - rate) + 6 * sigma
+    rows = m.sum(axis=1)
+    cols = m.sum(axis=0)
+    assert rows.min() >= lo and rows.max() <= hi
+    assert cols.min() >= lo and cols.max() <= hi

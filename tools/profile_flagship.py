@@ -66,13 +66,49 @@ def main():
     rows.append(("video encoder (ViT x30 + biLSTM + facial)",
                  timeit(jax.jit(lambda p: ve.apply(p, video)), pv)))
 
+    # --- video-encoder internals (the dominant stage: split it) ---------
+    from simple_multimodal_tpu.data.video_wire import decode_video_wire
+    from simple_multimodal_tpu.models.vit import ViTModel
+
+    _, _, vit_cfg = resolve_backbone_configs(cfg)
+    rows.append(("  video: yuv420 decode only",
+                 timeit(jax.jit(lambda v: decode_video_wire(v, dt)), video)))
+    frames = jax.jit(lambda v: decode_video_wire(v, dt))(video)
+    frames = frames.reshape((B * n_f,) + frames.shape[2:])
+    vit = ViTModel(vit_cfg, dtype=dt,
+                   remat=getattr(cfg, "remat_encoders", False))
+    pvit = jax.jit(vit.init)(jax.random.PRNGKey(7), frames[:2])
+    rows.append(("  video: ViT stack (240 frames, cls_only)",
+                 timeit(jax.jit(
+                     lambda p: vit.apply(p, frames, cls_only=True)), pvit)))
+    # temporal tail (LSTM + facial attention + projection) on fake features
+    from simple_multimodal_tpu.ops.lstm import LSTM
+    from simple_multimodal_tpu.ops.attention import MultiHeadAttention
+    import flax.linen as fnn
+
+    class _Tail(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            y, _ = LSTM(vit_cfg.hidden_size // 2, num_layers=2,
+                        bidirectional=True, dropout=0.0, dtype=dt)(x)
+            a, _ = MultiHeadAttention(vit_cfg.hidden_size, 8, 0.0, dtype=dt,
+                                      use_flash=vit_cfg.use_flash)(
+                y, y, y, need_weights=False)
+            return fnn.Dense(cfg.fusion_hidden_size, dtype=dt)(a.mean(axis=1))
+
+    feats = jnp.zeros((B, n_f, vit_cfg.hidden_size), dt)
+    tail = _Tail()
+    ptail = jax.jit(tail.init)(jax.random.PRNGKey(8), feats)
+    rows.append(("  video: biLSTM + facial attn + proj",
+                 timeit(jax.jit(lambda p: tail.apply(p, feats)), ptail)))
+
     model = MultimodalEmotionModel(cfg, dtype=dt)
     text_in = {"input_ids": ids, "attention_mask": mask}
     pm = jax.jit(model.init)(jax.random.PRNGKey(3), text_in, wav, video)
     t_full = timeit(jax.jit(
         lambda p: model.apply(p, text_in, wav, video)["emotion_logits"]), pm)
 
-    total = sum(t for _, t in rows)
+    total = sum(t for name, t in rows if not name.startswith("  "))
     for name, t in rows:
         print(f"{name:42s}: {t*1e3:7.2f} ms")
     print(f"{'sum of encoders':42s}: {total*1e3:7.2f} ms")

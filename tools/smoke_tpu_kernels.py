@@ -261,10 +261,17 @@ def smoke_block_ln(S=197, B=8, H=12, E=768):
 
     gf = jax.jit(jax.grad(lambda t: tree_loss(fused_p, t)))(tree)
     gu = jax.jit(jax.grad(lambda t: tree_loss(unfused_p, t)))(tree)
-    for (path, a_), (_, e_) in zip(
-            jax.tree_util.tree_leaves_with_path(gf),
-            jax.tree_util.tree_leaves_with_path(gu)):
-        scl = float(jnp.max(jnp.abs(e_.astype(jnp.float32)))) or 1.0
+    leaves_f = jax.tree_util.tree_leaves_with_path(gf)
+    leaves_u = jax.tree_util.tree_leaves_with_path(gu)
+    # Per-leaf scale floored at 1e-2 of the global gradient scale: the
+    # key-projection bias grad is ANALYTICALLY ZERO (softmax is shift-
+    # invariant per query row, so Σ_k ds[q,k] = 0) — both sides produce
+    # pure cancellation noise there, and noise/noise is not a kernel bug.
+    gmax = max(float(jnp.max(jnp.abs(e.astype(jnp.float32))))
+               for _, e in leaves_u)
+    for (path, a_), (_, e_) in zip(leaves_f, leaves_u):
+        scl = max(float(jnp.max(jnp.abs(e_.astype(jnp.float32)))),
+                  1e-2 * gmax)
         _check("bwd " + jax.tree_util.keystr(path), a_ / scl, e_ / scl,
                5e-2)
 
@@ -291,7 +298,10 @@ def smoke_ffn(B=240, S=197, E=768, F=3072):
         ref = jax.jit(lambda x: fb._xla_reference(x, w1, b1, w2, b2, ln=ln,
                                                   ln_post=post,
                                                   residual=True))(x)
-        _check(f"ffn ln_post={post}", out, ref, 5e-2)
+        # relative: FFN+residual outputs reach |y| ≈ 20 here, where one
+        # bf16 ulp is 0.125 — an absolute 5e-2 would flag correct rounding
+        scl = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) or 1.0
+        _check(f"ffn ln_post={post}", out / scl, ref / scl, 5e-2)
 
 
 def main():

@@ -310,6 +310,12 @@ def main():
                              "(full state: params + optimizer + step)")
     parser.add_argument("--dataset", type=str, default=None,
                         help="Override primary dataset name")
+    parser.add_argument("--flash_attention", type=str, default="auto",
+                        help="Fused Pallas kernel engagement: auto/true/false")
+    parser.add_argument("--flash_attention_train", type=str, default="auto",
+                        help="Kernel engagement inside the TRAIN step "
+                             "(auto = measured per-backend default; "
+                             "see ops/attention.py)")
     args = parser.parse_args()
 
     set_seed(args.seed)
@@ -333,6 +339,8 @@ def main():
     model_config.fusion_type = args.fusion_type
     model_config.encoder_preset = args.preset
     model_config.mesh_shape = tuple(int(x) for x in args.mesh.split(","))
+    model_config.flash_attention = args.flash_attention
+    model_config.flash_attention_train = args.flash_attention_train
 
     data_config = DataConfig()
     if args.dataset:
