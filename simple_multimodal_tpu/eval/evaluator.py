@@ -47,6 +47,21 @@ class ModelEvaluator:
                 config = config_from_dict(ModelConfig, payload_cfg)
         self.config = config
 
+        if not Path(model_path).exists():
+            hint = ""
+            parent = Path(model_path).parent
+            if parent.is_dir():
+                finals = sorted(p.name for p in parent.iterdir()
+                                if p.name.startswith(("final_model",
+                                                      "checkpoint_")))
+                if finals:
+                    hint = (" Available checkpoints in "
+                            f"{parent}: {', '.join(finals)}.")
+            raise FileNotFoundError(
+                f"No checkpoint at {model_path}.{hint} (A run whose val F1 "
+                "never improves writes best_model only once per run — "
+                "re-run training or point --model_path at a final_model_* "
+                "directory.)")
         payload = restore_checkpoint(model_path)
         self.params = payload["params"]
         self.model = MultimodalEmotionModel(config)

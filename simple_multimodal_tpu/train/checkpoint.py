@@ -74,12 +74,36 @@ def save_params(path: str, params) -> None:
     ckptr.wait_until_finished()
 
 
+def migrate_legacy_layers(tree):
+    """Stack pre-scan per-layer subtrees into the nn.scan layout.
+
+    Checkpoints saved before the encoders moved to scan-over-layers hold
+    ``layer_0 .. layer_{N-1}`` sibling subtrees; the current layout holds
+    one ``layers`` subtree with a leading layer axis. Detects the complete
+    legacy pattern anywhere in the tree and stacks it (leaf-wise np.stack),
+    leaving everything else untouched."""
+    if not isinstance(tree, dict):
+        return tree
+    tree = {k: migrate_legacy_layers(v) for k, v in tree.items()}
+    names = [k for k in tree
+             if k.startswith("layer_") and k[len("layer_"):].isdigit()]
+    n = len(names)
+    if (n and "layers" not in tree
+            and sorted(int(k[len("layer_"):]) for k in names)
+            == list(range(n))
+            and all(isinstance(tree[k], dict) for k in names)):
+        ordered = [tree.pop(f"layer_{i}") for i in range(n)]
+        tree["layers"] = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *ordered)
+    return tree
+
+
 def restore_params(path: str) -> Any:
     """Restore just the params pytree from a checkpoint directory."""
     path = _abs(path)
     ckptr = ocp.PyTreeCheckpointer()
     restored = ckptr.restore(path)
-    return restored["params"]
+    return migrate_legacy_layers(restored["params"])
 
 
 def restore_checkpoint(path: str, state_target=None) -> Dict[str, Any]:
@@ -120,5 +144,7 @@ def restore_checkpoint(path: str, state_target=None) -> Dict[str, Any]:
         payload = ocp.StandardCheckpointer().restore(path, template)
     else:
         payload = ocp.PyTreeCheckpointer().restore(path)
+        if payload.get("params") is not None:
+            payload["params"] = migrate_legacy_layers(payload["params"])
     payload["meta"] = meta
     return payload

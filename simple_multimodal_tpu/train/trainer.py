@@ -162,6 +162,14 @@ class AdvancedTrainer:
                                 f"{c_shape} but the live optimizer expects "
                                 f"{l_shape}; refusing order-based restore"
                             )
+                        c_dtype = getattr(c, "dtype", None)
+                        l_dtype = getattr(l, "dtype", None)
+                        if c_dtype != l_dtype:
+                            raise ValueError(
+                                f"Checkpoint optimizer leaf {i} has dtype "
+                                f"{c_dtype} but the live optimizer expects "
+                                f"{l_dtype}; refusing order-based restore"
+                            )
                     restored_opt = jax.tree_util.tree_unflatten(
                         jax.tree_util.tree_structure(state.opt_state),
                         ckpt_leaves,
@@ -232,6 +240,7 @@ class AdvancedTrainer:
         self.eager_best_checkpoint = bool(
             getattr(config, "eager_best_checkpoint", False))
         self._best_snapshot = None
+        self._best_written = False
         self._copy_params = jax.jit(
             lambda p: jax.tree_util.tree_map(jnp.array, p))
         self.use_wandb = bool(getattr(config, "use_wandb", False)) and _HAS_WANDB
@@ -329,11 +338,19 @@ class AdvancedTrainer:
                 wandb.log({"epoch": epoch, "train_loss": self.train_losses[-1],
                            **val_metrics, "learning_rate": self.lr_history[-1]})
 
-            if val_metrics["val_f1_macro"] > self.best_val_f1:
-                self.best_val_f1 = val_metrics["val_f1_macro"]
-                self.best_val_acc = val_metrics["val_accuracy"]
+            improved = val_metrics["val_f1_macro"] > self.best_val_f1
+            # best-so-far is written AT LEAST once even when val F1 never
+            # beats 0.0 (degenerate run): evaluate_model's quickstart path
+            # reads ckpt/best_model and must not strand on FileNotFound.
+            # Patience/plots keep the reference's strict-improvement rule.
+            if improved or (self._best_snapshot is None
+                            and not self._best_written):
+                if improved:
+                    self.best_val_f1 = val_metrics["val_f1_macro"]
+                    self.best_val_acc = val_metrics["val_accuracy"]
                 if self.eager_best_checkpoint:
                     self.save_checkpoint("best_model", epoch, val_metrics)
+                    self._best_written = True
                 else:
                     # device-side snapshot; written once after training —
                     # a params transfer per improvement costs minutes on
@@ -342,6 +359,7 @@ class AdvancedTrainer:
                         epoch, dict(val_metrics),
                         self._copy_params(self.state.params),
                     )
+            if improved:
                 self.patience_counter = 0
                 self.plot_confusion_matrix(targets, predictions, epoch)
             else:

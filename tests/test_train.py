@@ -231,6 +231,38 @@ def test_epoch_loss_is_mean_of_batches(tiny_config):
     assert reported["total_loss"] == pytest.approx(np.mean(per_batch), rel=1e-6)
 
 
+def test_degenerate_run_still_writes_best_model(tiny_config, tmp_path):
+    """A run whose val F1 never beats 0.0 must still produce
+    ckpt/best_model (the README quickstart's step 3 reads it)."""
+    import dataclasses as dc
+
+    from simple_multimodal_tpu.models import create_model
+    from simple_multimodal_tpu.train.trainer import AdvancedTrainer
+
+    c = dc.replace(tiny_config, save_path=str(tmp_path / "ckpt"),
+                   log_path=str(tmp_path / "logs"))
+    c.fusion_type = "early"
+    c.num_epochs = 1
+    batches = [make_batch(c, B=2, seed=s) for s in range(2)]
+    trainer = AdvancedTrainer(
+        model=create_model(c, "standard"), config=c,
+        train_loader=_ListLoader(batches),
+        val_loader=_ListLoader(batches[:1]),
+    )
+    # force the degenerate path: validation always reports F1 = 0.0
+    trainer.validate = lambda: ({"val_loss": 1.0, "val_accuracy": 0.0,
+                                 "val_f1_macro": 0.0, "val_f1_weighted": 0.0},
+                                {}, np.zeros(2, np.int64),
+                                np.zeros(2, np.int64),
+                                np.zeros((2, c.num_emotions), np.float32))
+    trainer.train()
+    assert (tmp_path / "ckpt" / "best_model").exists()
+    from simple_multimodal_tpu.eval.evaluator import ModelEvaluator
+
+    ev = ModelEvaluator(str(tmp_path / "ckpt" / "best_model"), config=c)
+    assert ev.params is not None
+
+
 def test_robust_avg_loss_is_mean(tiny_config):
     import dataclasses as dc
 
@@ -294,3 +326,31 @@ def test_train_step_with_fused_kernels_and_dropout(tiny_config):
         params, state.params)
     assert max(jax.tree_util.tree_leaves(moved)) > 0
 
+
+
+def test_legacy_per_layer_checkpoint_migrates_to_scan_layout():
+    """Pre-scan checkpoints hold layer_0..layer_{N-1} subtrees; restore
+    must stack them into the nn.scan 'layers' layout (checkpoint.py)."""
+    from simple_multimodal_tpu.train.checkpoint import migrate_legacy_layers
+
+    legacy = {
+        "encoder": {
+            "layer_0": {"dense": {"kernel": np.ones((2, 2)) * 0,
+                                  "bias": np.zeros(2)}},
+            "layer_1": {"dense": {"kernel": np.ones((2, 2)) * 1,
+                                  "bias": np.ones(2)}},
+            "layer_2": {"dense": {"kernel": np.ones((2, 2)) * 2,
+                                  "bias": np.ones(2) * 2}},
+            "emb": {"w": np.arange(4.0)},
+        },
+        "head": {"kernel": np.eye(2)},
+    }
+    out = migrate_legacy_layers(legacy)
+    assert "layer_0" not in out["encoder"]
+    stacked = out["encoder"]["layers"]["dense"]["kernel"]
+    assert stacked.shape == (3, 2, 2)
+    np.testing.assert_array_equal(stacked[2], np.ones((2, 2)) * 2)
+    np.testing.assert_array_equal(out["encoder"]["emb"]["w"], np.arange(4.0))
+    # incomplete pattern (gap) is left untouched
+    gap = {"layer_0": {"w": np.zeros(1)}, "layer_2": {"w": np.zeros(1)}}
+    assert "layers" not in migrate_legacy_layers(dict(gap))
