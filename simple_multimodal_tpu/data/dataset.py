@@ -127,9 +127,14 @@ class MultimodalDataset:
         pack = (getattr(self.config, "video_wire_format", "rgb8") == "yuv420"
                 and video_wire.can_pack(h, w))
         if not full.exists():
-            shape = ((self.config.video_max_frames, video_wire.packed_height(h), w)
-                     if pack else (self.config.video_max_frames, h, w, 3))
-            return np.zeros(shape, np.uint8)
+            if pack:
+                # packed BLACK, not raw zeros: zero chroma bytes decode to
+                # U=V=-128 → green frames; black is Y=0, U=V=128
+                z = np.zeros((self.config.video_max_frames,
+                              video_wire.packed_height(h), w), np.uint8)
+                z[:, h:, :] = 128
+                return z
+            return np.zeros((self.config.video_max_frames, h, w, 3), np.uint8)
         if pack:
             # packed sidecar: warm epochs read half the bytes off disk too
             return self._cached(

@@ -446,6 +446,21 @@ def test_model_zeroed_packed_video_is_black(tiny_config):
                                atol=1e-5)
 
 
+def test_dataset_missing_video_decodes_black(sample_dataset_dir, tiny_config):
+    """A missing video FILE under yuv420 must fill packed-BLACK planes
+    (chroma 128), not raw zeros (which decode to green frames)."""
+    import dataclasses
+
+    from simple_multimodal_tpu.data.video_wire import decode_video_wire
+
+    cfg = dataclasses.replace(tiny_config)  # default yuv420
+    ds = get_dataset("sample", str(sample_dataset_dir), "val", cfg)
+    item = ds._video("does/not/exist.mp4")
+    assert item.dtype == np.uint8 and item.ndim == 3  # packed planes
+    dec = np.asarray(decode_video_wire(item[None]))
+    assert float(np.abs(dec).max()) < 1e-2  # black, not green
+
+
 def test_wire_format_prediction_agreement(sample_dataset_dir, tiny_config):
     """yuv420 vs rgb8 wire through the SAME model params: logits close,
     predictions identical on the synthetic set."""
