@@ -56,10 +56,35 @@ def main():
     rows.append(("text encoder (DeBERTa, S=512)",
                  timeit(jax.jit(lambda p: te.apply(p, ids, mask)), pt)))
 
+    # --- text internals: embeddings+rel tables vs the layer stack -------
+    from simple_multimodal_tpu.models.deberta import DebertaModel
+
+    text_cfg, audio_cfg, _ = resolve_backbone_configs(cfg)
+    deb = DebertaModel(text_cfg, dtype=dt,
+                       remat=getattr(cfg, "remat_encoders", False))
+    pdeb = jax.jit(deb.init)(jax.random.PRNGKey(9), ids, mask)
+    rows.append(("  text: DeBERTa backbone only",
+                 timeit(jax.jit(lambda p: deb.apply(p, ids, mask)), pdeb)))
+
     ae = AudioEncoder(cfg, dtype=dt)
     pa = jax.jit(ae.init)(jax.random.PRNGKey(1), wav)
     rows.append(("audio encoder (wav2vec2+temporal)",
                  timeit(jax.jit(lambda p: ae.apply(p, wav)), pa)))
+
+    # --- audio internals: conv extractor vs transformer stack -----------
+    from simple_multimodal_tpu.models.wav2vec2 import (
+        FeatureEncoder, Wav2Vec2Model,
+    )
+
+    fe = FeatureEncoder(audio_cfg, dtype=dt)
+    pfe = jax.jit(fe.init)(jax.random.PRNGKey(10), wav)
+    rows.append(("  audio: conv feature extractor",
+                 timeit(jax.jit(lambda p: fe.apply(p, wav)), pfe)))
+    w2v = Wav2Vec2Model(audio_cfg, dtype=dt,
+                        remat=getattr(cfg, "remat_encoders", False))
+    pw2v = jax.jit(w2v.init)(jax.random.PRNGKey(11), wav)
+    rows.append(("  audio: wav2vec2 full (extractor+transformer)",
+                 timeit(jax.jit(lambda p: w2v.apply(p, wav)), pw2v)))
 
     ve = VideoEncoder(cfg, dtype=dt)
     pv = jax.jit(ve.init)(jax.random.PRNGKey(2), video)
