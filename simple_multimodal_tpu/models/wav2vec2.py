@@ -84,10 +84,39 @@ class FeatureEncoder(nn.Module):
     @nn.compact
     def __call__(self, waveform: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
+        from ..ops.pallas.wav_frontend import frontend_viable, wav_frontend
+
+        # First stage (conv_0 → per-channel GroupNorm → GELU) fused kernel:
+        # MEASURED LOSS on v5e, so default-OFF (SMM_WAV_FRONTEND=1 forces).
+        # The two-pass group-framed kernel (ops/pallas/wav_frontend.py) is
+        # numerically exact vs this composition, but interleaved A/B shows
+        # XLA already runs the stage at ~3.5-4.5 ms vs the kernel's
+        # 4.6-6.7 (XLA fuses the GN stats reduce and the normalize+GELU
+        # into the conv, so its real traffic is ~790 MB, not the naive
+        # 1.5 GB; the kernel's recompute matmul + VPU GELU eats the rest
+        # of the margin). Same engagement discipline as plain flash at
+        # short S: the kernel stays, measured and gated (RESULTS.md r4).
+        # Params stay byte-compatible either way: ConvParams /
+        # LayerNormParams mirror nn.Conv / nn.GroupNorm's trees.
+        import os
+
+        fuse0 = (cfg.use_flash
+                 and os.environ.get("SMM_WAV_FRONTEND", "0") == "1"
+                 and frontend_viable(
+                     cfg.conv_kernels[0], cfg.conv_strides[0],
+                     cfg.conv_dims[0]))
         x = waveform[..., None].astype(self.dtype)  # NWC: [B, T, 1]
         for i, (dim, k, s) in enumerate(
             zip(cfg.conv_dims, cfg.conv_kernels, cfg.conv_strides)
         ):
+            if i == 0 and fuse0:
+                from ..ops.attention import ConvParams, LayerNormParams
+
+                kernel = ConvParams(dim, k, name="conv_0")(1)
+                g, b = LayerNormParams(name="group_norm")(dim)
+                x = wav_frontend(waveform, kernel.astype(self.dtype),
+                                 g, b, stride=s, eps=1e-5)
+                continue
             x = nn.Conv(dim, kernel_size=(k,), strides=(s,), padding="VALID",
                         use_bias=False, dtype=self.dtype, name=f"conv_{i}")(x)
             if i == 0:

@@ -113,6 +113,23 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
+class ConvParams(nn.Module):
+    """Creates the exact parameter tree of a bias-free ``nn.Conv`` (kernel
+    [K, in, out], same name/init) WITHOUT computing the convolution — for
+    conv stages whose compute is fused into a Pallas kernel (see
+    DenseParams). ``features``/``kernel_size`` match the nn.Conv fields."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param(
+            "kernel", nn.linear.default_kernel_init,
+            (self.kernel_size, in_features, self.features),
+        )
+
+
 class LayerNormParams(nn.Module):
     """Creates the exact parameter tree of an ``nn.LayerNorm`` (scale +
     bias, same names/inits) WITHOUT computing the normalization — for

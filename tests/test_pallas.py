@@ -869,3 +869,90 @@ def test_hash_dropout_row_column_balance():
     cols = m.sum(axis=0)
     assert rows.min() >= lo and rows.max() <= hi
     assert cols.min() >= lo and cols.max() <= hi
+
+
+# ---------------------------------------------------------------------------
+# wav_frontend: fused conv_0 + GroupNorm + GELU (default-off: measured loss
+# on v5e, kept gated — see ops/pallas/wav_frontend.py and RESULTS.md r4)
+# ---------------------------------------------------------------------------
+
+
+def _wf_inputs(B=2, T=4003, K=10, C=512, s=5, dtype=jnp.bfloat16, seed=0):
+    rng = np.random.default_rng(seed)
+    wav = jnp.asarray(rng.standard_normal((B, T)) * 0.3, jnp.float32)
+    kern = jnp.asarray(rng.standard_normal((K, 1, C)) * 0.1, dtype)
+    g = jnp.asarray(rng.standard_normal(C) * 0.2 + 1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+    return wav, kern, g, b, s
+
+
+@pytest.mark.parametrize("T", [4003, 2560, 645])
+def test_wav_frontend_matches_xla_reference(T):
+    from simple_multimodal_tpu.ops.pallas.wav_frontend import (
+        _xla_reference, wav_frontend,
+    )
+
+    wav, kern, g, b, s = _wf_inputs(T=T)
+    out = jax.jit(lambda *a: wav_frontend(*a, stride=s))(wav, kern, g, b)
+    ref = _xla_reference(wav, kern, g, b, s, 1e-5, True, jnp.bfloat16)
+    assert out.shape == ref.shape == (2, (T - 10) // s + 1, 512)
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                - ref.astype(jnp.float32))))
+    assert err < 2e-2, err  # bf16 rounding only
+
+
+def test_wav_frontend_grads_match_reference():
+    """The custom VJP routes through the XLA reference; grads must agree
+    exactly. Weighted-sum loss (CLAUDE.md: never sum-of-squares after a
+    normalization layer)."""
+    from simple_multimodal_tpu.ops.pallas.wav_frontend import (
+        _xla_reference, wav_frontend,
+    )
+
+    wav, kern, g, b, s = _wf_inputs(T=1285)
+    rng = np.random.default_rng(1)
+    T1 = (1285 - 10) // s + 1
+    w = jnp.asarray(rng.standard_normal((2, T1, 512)), jnp.float32)
+
+    def loss_fused(wav, kern, g, b):
+        return jnp.sum(
+            wav_frontend(wav, kern, g, b, stride=s).astype(jnp.float32) * w)
+
+    def loss_ref(wav, kern, g, b):
+        return jnp.sum(
+            _xla_reference(wav, kern, g, b, s, 1e-5, True,
+                           jnp.bfloat16).astype(jnp.float32) * w)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(wav, kern, g, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(wav, kern, g, b)
+    for a, r in zip(gf, gr):
+        assert float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                     - r.astype(jnp.float32)))) == 0.0
+
+
+def test_wav_frontend_feature_encoder_integration(monkeypatch):
+    """Forced on (SMM_WAV_FRONTEND=1), the fused FeatureEncoder produces
+    the same param tree and matching outputs vs the unfused one."""
+    import dataclasses
+
+    from simple_multimodal_tpu.models.wav2vec2 import (
+        FeatureEncoder, Wav2Vec2Config,
+    )
+
+    monkeypatch.setenv("SMM_WAV_FRONTEND", "1")
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((2, 16000)) * 0.3, jnp.float32)
+    fe_x = FeatureEncoder(
+        dataclasses.replace(Wav2Vec2Config.base(), use_flash=False),
+        dtype=jnp.bfloat16)
+    fe_f = FeatureEncoder(
+        dataclasses.replace(Wav2Vec2Config.base(), use_flash=True),
+        dtype=jnp.bfloat16)
+    p = jax.jit(fe_x.init)(jax.random.PRNGKey(0), wav)
+    pf = jax.jit(fe_f.init)(jax.random.PRNGKey(0), wav)
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(pf))
+    ox = jax.jit(fe_x.apply)(p, wav)
+    of = jax.jit(fe_f.apply)(p, wav)
+    assert float(jnp.max(jnp.abs(ox.astype(jnp.float32)
+                                 - of.astype(jnp.float32)))) < 2e-3
