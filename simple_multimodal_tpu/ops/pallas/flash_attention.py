@@ -267,6 +267,26 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, delta_ref,
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
+def _bwd_bias_blocks(block_q, block_k, G, Sq, Sk,
+                     budget=8 * 1024 * 1024):
+    """Shrink the backward sweep blocks so the BIAS-family tiles fit VMEM.
+
+    Scoped-VMEM calibration measured on v5e (cf.
+    deberta_attention._bwd_head_group): Mosaic DOUBLE-BUFFERS the
+    grid-streamed refs, so the dq program's real stack holds 2× the
+    bias-in tile AND 2× the dbias-out tile (16·G·block_q·Sk bytes f32
+    total) — at S=2048 with block_q=512 that alone is 16 MB and the
+    compile fails at 17.25 MB against the 16 MB scoped limit (observed,
+    smoke S=2048). The dkv program streams bias-in only (8·G·Sq·block_k).
+    Halving preserves divisibility (every candidate block divides the
+    padded sequence an even number of times); floor 128."""
+    while block_q > 128 and 16 * G * block_q * Sk > budget:
+        block_q //= 2
+    while block_k > 128 and 8 * G * Sq * block_k > budget:
+        block_k //= 2
+    return block_q, block_k
+
+
 def _flash_backward(q, k, v, bias, out, lse, do, block_q, block_k, interpret,
                     sk_valid):
     """All operands [B, H, S, D]-family, already padded. Returns
@@ -281,22 +301,7 @@ def _flash_backward(q, k, v, bias, out, lse, do, block_q, block_k, interpret,
     G = _head_group(H, Sq, Sk, D, q.dtype.itemsize,
                     max(block_q, block_k), has_bias, full_q=True)
     if has_bias:
-        # Scoped-VMEM calibration for the bias-family tiles, measured on
-        # v5e (cf. deberta_attention._bwd_head_group): Mosaic DOUBLE-
-        # BUFFERS the grid-streamed refs, so the dq program's real stack
-        # holds 2× the bias-in tile AND 2× the dbias-out tile
-        # (16·G·block_q·Sk bytes f32 total) — at S=2048 with block_q=512
-        # that alone is 16 MB and the compile fails at 17.25 MB against
-        # the 16 MB scoped limit (observed, smoke S=2048). Halve the
-        # sweep blocks until the bias tiles fit an 8 MB budget, leaving
-        # the measured ~1.15× real-stack factor several MB of headroom.
-        # Halving preserves divisibility: pick_block only returns
-        # power-of-two multiples of 128.
-        budget = 8 * 1024 * 1024
-        while block_q > 128 and 16 * G * block_q * Sk > budget:
-            block_q //= 2
-        while block_k > 128 and 8 * G * Sq * block_k > budget:
-            block_k //= 2
+        block_q, block_k = _bwd_bias_blocks(block_q, block_k, G, Sq, Sk)
     tile_q = pl.BlockSpec((1, G, block_q, D), lambda b, g, i: (b, g, i, 0))
     full_q = pl.BlockSpec((1, G, Sq, D), lambda b, g, i: (b, g, 0, 0))
     tile_k = pl.BlockSpec((1, G, block_k, D), lambda b, g, i: (b, g, i, 0))

@@ -956,3 +956,27 @@ def test_wav_frontend_feature_encoder_integration(monkeypatch):
     of = jax.jit(fe_f.apply)(p, wav)
     assert float(jnp.max(jnp.abs(ox.astype(jnp.float32)
                                  - of.astype(jnp.float32)))) < 2e-3
+
+
+def test_flash_bwd_bias_blocks_fit_vmem():
+    """The backward's bias-family tiles (dq: bias-in + dbias-out, both
+    double-buffered = 16·G·bq·Sk bytes; dkv: bias-in = 8·G·Sq·bk) must fit
+    the calibrated budget at every engaged length — the S=2048 compile
+    failure this guards against hit 17.25 MB vs the 16 MB scoped limit."""
+    from simple_multimodal_tpu.ops.pallas.flash_attention import (
+        _bwd_bias_blocks,
+    )
+
+    budget = 8 * 1024 * 1024
+    for S in (512, 1024, 2048, 4096, 8192):
+        for G in (1, 2):
+            bq, bk = _bwd_bias_blocks(512, 512, G, S, S)
+            assert S % bq == 0 and S % bk == 0, (S, G, bq, bk)
+            assert bq >= 128 and bk >= 128
+            if 16 * G * 128 * S <= budget:  # fit is achievable at all
+                assert 16 * G * bq * S <= budget, (S, G, bq)
+            if 8 * G * S * 128 <= budget:
+                assert 8 * G * S * bk <= budget, (S, G, bk)
+    # the observed failure shape: S=2048, G=1, default 512 blocks
+    bq, bk = _bwd_bias_blocks(512, 512, 1, 2048, 2048)
+    assert bq == 256 and 16 * bq * 2048 <= budget
