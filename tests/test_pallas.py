@@ -980,3 +980,42 @@ def test_flash_bwd_bias_blocks_fit_vmem():
     # the observed failure shape: S=2048, G=1, default 512 blocks
     bq, bk = _bwd_bias_blocks(512, 512, 1, 2048, 2048)
     assert bq == 256 and 16 * bq * 2048 <= budget
+
+
+def test_flash_attention_train_gate_resolution(monkeypatch):
+    """flash_attention_train: 'auto' follows the eval gate; explicit
+    values force independently (the train-step A/B knob, RESULTS.md r4).
+    On the CPU backend 'auto' resolves False for both modes."""
+    from types import SimpleNamespace
+
+    from simple_multimodal_tpu.ops.attention import use_flash_attention
+
+    def cfg(fa, fat):
+        return SimpleNamespace(flash_attention=fa, flash_attention_train=fat)
+
+    # auto on CPU: off for eval, and train follows eval
+    assert use_flash_attention(cfg("auto", "auto")) is False
+    assert use_flash_attention(cfg("auto", "auto"), train=True) is False
+    # forced eval engagement propagates to an auto train gate
+    assert use_flash_attention(cfg(True, "auto")) is True
+    assert use_flash_attention(cfg(True, "auto"), train=True) is True
+    # train forces independently of eval, both directions
+    assert use_flash_attention(cfg(True, "false"), train=True) is False
+    assert use_flash_attention(cfg(False, "true"), train=True) is True
+    assert use_flash_attention(cfg(True, False), train=True) is False
+    # string forms accepted (CLI round-trip)
+    assert use_flash_attention(cfg("true", "auto")) is True
+    assert use_flash_attention(cfg("false", "1"), train=True) is True
+
+
+def test_force_xla_bwd_env_knob(monkeypatch):
+    from simple_multimodal_tpu.ops.pallas.deberta_attention import (
+        _force_xla_bwd,
+    )
+
+    monkeypatch.delenv("SMM_PALLAS_BWD", raising=False)
+    assert _force_xla_bwd() is False
+    monkeypatch.setenv("SMM_PALLAS_BWD", "0")
+    assert _force_xla_bwd() is True
+    monkeypatch.setenv("SMM_PALLAS_BWD", "1")
+    assert _force_xla_bwd() is False
