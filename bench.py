@@ -588,6 +588,12 @@ def main():
         json.dump(detail, f, indent=2)
 
     extra = {"device_resident_clips_per_sec": round(B / dev_med, 3)}
+    # e2e is transfer-bound on the tunneled link: carry the measured link
+    # bandwidth in the headline line itself so a low e2e figure is
+    # attributable to link weather without opening bench_detail.json
+    probe = detail.get("link_probe_after") or detail.get("link_probe_before")
+    if probe:
+        extra["link_mb_per_s"] = probe.get("mb_per_s_median")
     if not e2e_ran and not args.skip_preprocessing:
         extra["partial"] = detail.get("e2e_error", "e2e not run")[:160]
     print_headline(e2e_clips_per_sec, vs_baseline, **extra)
