@@ -316,6 +316,11 @@ def main():
                         help="Kernel engagement inside the TRAIN step "
                              "(auto = measured per-backend default; "
                              "see ops/attention.py)")
+    parser.add_argument("--remat", type=str, default="1",
+                        help="Gradient-checkpoint (remat) the encoder stacks: "
+                             "1 (default; lowest memory) / 0 (save layer "
+                             "activations instead of recomputing them in the "
+                             "backward — faster steps when they fit in HBM)")
     args = parser.parse_args()
 
     set_seed(args.seed)
@@ -341,6 +346,7 @@ def main():
     model_config.mesh_shape = tuple(int(x) for x in args.mesh.split(","))
     model_config.flash_attention = args.flash_attention
     model_config.flash_attention_train = args.flash_attention_train
+    model_config.remat_encoders = args.remat != "0"
 
     data_config = DataConfig()
     if args.dataset:
