@@ -23,11 +23,21 @@ Layer-norm placement covers all three encoders:
 GELU form follows ops/attention.gelu: tanh approximation for bf16 inputs,
 erf-exact for f32 (the bf16 production path lowers as tanh on the VPU).
 
-Backward: custom VJP against the XLA reference — the forward fusion is
-what the serving/throughput path needs; the backward pays the same traffic
-as the unfused path (the [rows, F] cotangent must reach the W1/W2 weight
-grads either way, and an in-kernel [E, F]-f32 dW accumulator would not fit
-VMEM next to both weight operands).
+Backward: a dedicated Pallas bwd kernel (same recipe that won round 4 for
+the attention kernels): per (batch, row-tile) it recomputes the LN/GELU
+chain in VMEM with an F-chunked loop (the [rows, F] intermediate never
+exists in f32 in HBM), applies the stateless-hash dropout replay, and
+emits dx + the packed [rows, F] pre-GELU cotangent ``dh_pre`` (+``dy0``
+for post-LN) + LN-param accumulators. The four weight-grad contractions
+ride plain XLA matmuls over (B, S) outside (a per-batch grid cannot feed
+the MXU a [E, F] reduction efficiently, and an in-kernel [E, F]-f32 dW
+accumulator would not fit VMEM next to both weight operands). The [rows,
+F] cotangent must reach the W1/W2 weight grads either way — what the
+kernel removes vs the XLA-vjp-of-the-unfused-reference is the separate
+materializations of the f32 intermediate, the gelu-saved pre-activation,
+and the post-dropout copies, plus the fused LN backward. Falls back to
+the reference-vjp when the residency exceeds VMEM (``_bwd_pick``) or
+under the SMM_PALLAS_BWD=0 / SMM_FFN_BWD=0 A/B knobs.
 
 Grid: (B, row-tiles). Weights are grid-constant blocks (fetched once, kept
 resident). VMEM at base dims (E=768, F=3072, R=128, bf16): ~9.4 MB weights
@@ -63,16 +73,17 @@ def _ln_f32(xf, g, b, eps):
     return (xf - mu) * jax.lax.rsqrt(var + eps) * g + b
 
 
-def _drop_keep(seed_ref, b, r0, shape, rate, salt):
+def _drop_keep(seed_ref, b, r0, shape, rate, salt, c0=0):
     """Hidden-dropout keep mask over a [R, cols] tile: the stateless
     murmur hash of (seed + salt, global row, col) — same family as the
-    attention kernels' `_hash_keep`, so fwd and the XLA-vjp backward
+    attention kernels' `_hash_keep`, so fwd and the Pallas/XLA backwards
     regenerate identical masks without storing them. ``salt`` separates
-    the intermediate and output dropout draws."""
+    the intermediate and output dropout draws; ``c0`` offsets the column
+    index for F-chunked tiles (bwd kernel)."""
     from .deberta_attention import _hash_keep
 
     row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(r0)
-    col = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    col = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) + jnp.uint32(c0)
     return _hash_keep(jnp.uint32(seed_ref[0]) + np.uint32(salt),
                       jnp.uint32(b), row, col, rate)
 
@@ -205,25 +216,270 @@ def _ffn_fwd(x, w1, b1, w2, b2, ln_g, ln_b, seed,
     return out, (x, w1, b1, w2, b2, ln_g, ln_b, seed)
 
 
+def _force_ffn_xla_bwd() -> bool:
+    """SMM_FFN_BWD=0 routes only the FFN backward through the XLA
+    reference vjp — the isolated A/B knob for this kernel (SMM_PALLAS_BWD
+    switches all bwd kernels at once)."""
+    import os
+
+    return os.environ.get("SMM_FFN_BWD", "1") == "0"
+
+
+def _bwd_pick(Sp: int, E: int, F: int, itemsize: int, ln_post: bool):
+    """(row-tile Rb, F-chunk Fc) for the bwd kernel, or None if nothing
+    fits the VMEM envelope. Largest-first so the MXU sees full 128-row
+    passes and the chunk loop stays short. Budget items: resident W1+W2,
+    double-buffered streams (x, gy, dx, dh_pre [+dy0 post-LN]), and the
+    f32 scratch (dxn accumulator, dy0 copy, per-chunk hp/dh tiles
+    [+ysum/yhat for post-LN]). 15.5 MB against the 16 MB scoped limit —
+    the fwd kernel ships at ~14.5 estimated and holds on-chip."""
+    rbs = [Sp] if Sp <= 256 else [r for r in (256, 128) if Sp % r == 0]
+    fcs = [c for c in (1024, 512, 256, 128) if F % c == 0] or [F]
+    for Rb in rbs:
+        for Fc in fcs:
+            w = 2 * E * F * itemsize
+            streams = (3 * Rb * E + Rb * F
+                       + (Rb * E if ln_post else 0)) * itemsize * 2
+            scratch = Rb * E * 4 + Rb * E * itemsize + 2 * Rb * Fc * 4
+            if ln_post:
+                scratch += 2 * Rb * E * 4
+            if w + streams + scratch <= int(15.5 * 1024 * 1024):
+                return Rb, Fc
+    return None
+
+
+def _bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, w2_ref, b2_ref, lg_ref,
+                lb_ref, seed_ref, *outs,
+                ln_eps, ln_post, residual, approximate, rate_mid, rate_out,
+                Rb, Fc):
+    """``outs``: dx_ref, dhp_ref, dln_ref [, dy0_ref if ln_post].
+
+    Recomputes the forward chain per row-tile with weights resident and
+    the [Rb, F] intermediate visited one [Rb, Fc] f32 chunk at a time
+    (never whole in f32), replays the hash-dropout masks, and emits:
+    dx, the pre-GELU cotangent dh_pre (the one [rows, F] tensor the
+    weight grads genuinely need in HBM), dln (dg/db rows of an [8, E]
+    f32 accumulator across the grid), and — post-LN only — dy0 (the
+    cotangent at the second matmul's output, which needs the in-kernel
+    LN backward to exist). GELU's derivative comes from jax.vjp of the
+    same `_gelu_f32` the forward uses, so the Pallas and reference
+    backwards are derivative-form-identical."""
+    if ln_post:
+        dx_ref, dhp_ref, dln_ref, dy0_ref = outs
+    else:
+        dx_ref, dhp_ref, dln_ref = outs
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+    r0 = r * Rb
+    f32 = jnp.float32
+    x = x_ref[0]                                    # [Rb, E]
+    gy = g_ref[0].astype(f32)                       # zero on padded rows
+    E = x.shape[1]
+    F = w1_ref.shape[1]
+    xf = x.astype(f32)
+
+    @pl.when((b == 0) & (r == 0))
+    def _():
+        dln_ref[...] = jnp.zeros(dln_ref.shape, dln_ref.dtype)
+
+    if ln_eps is not None and not ln_post:
+        mu = jnp.mean(xf, axis=1, keepdims=True)
+        var = jnp.mean((xf - mu) * (xf - mu), axis=1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + ln_eps)
+        xhat = (xf - mu) * rstd
+        xn = (xhat * lg_ref[...].astype(f32)
+              + lb_ref[...].astype(f32)).astype(x.dtype)
+    else:
+        xn = x
+
+    gelu = functools.partial(_gelu_f32, approximate=approximate)
+
+    if ln_post:
+        # pass 1: rebuild y0 = drop_mid(gelu(xn@W1+b1)) @ W2 + b2 so the
+        # output-LN backward has its statistics
+        y0 = jnp.zeros((Rb, E), f32)
+        for f0 in range(0, F, Fc):
+            hp_c = (jax.lax.dot_general(
+                xn, w1_ref[:, f0:f0 + Fc], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+                + b1_ref[0, f0:f0 + Fc].astype(f32))
+            h_c = gelu(hp_c)
+            if rate_mid:
+                h_c = jnp.where(
+                    _drop_keep(seed_ref, b, r0, h_c.shape, rate_mid, 1, f0),
+                    h_c * (1.0 / (1.0 - rate_mid)), 0.0)
+            y0 = y0 + jax.lax.dot_general(
+                h_c.astype(x.dtype), w2_ref[f0:f0 + Fc, :],
+                (((1,), (0,)), ((), ())), preferred_element_type=f32)
+        y0 = y0 + b2_ref[...].astype(f32)
+        if rate_out:
+            keep_o = _drop_keep(seed_ref, b, r0, y0.shape, rate_out, 2)
+            y1 = jnp.where(keep_o, y0 * (1.0 / (1.0 - rate_out)), 0.0)
+        else:
+            y1 = y0
+        ysum = y1 + xf if residual else y1
+        mu2 = jnp.mean(ysum, axis=1, keepdims=True)
+        var2 = jnp.mean((ysum - mu2) * (ysum - mu2), axis=1, keepdims=True)
+        rstd2 = jax.lax.rsqrt(var2 + ln_eps)
+        yhat = (ysum - mu2) * rstd2
+        dln_ref[0:1] += jnp.sum(gy * yhat, axis=0, keepdims=True)
+        dln_ref[1:2] += jnp.sum(gy, axis=0, keepdims=True)
+        dyhat = gy * lg_ref[...].astype(f32)
+        dysum = rstd2 * (dyhat
+                         - jnp.mean(dyhat, axis=1, keepdims=True)
+                         - yhat * jnp.mean(dyhat * yhat, axis=1,
+                                           keepdims=True))
+        dx_tail = dysum if residual else None
+        dy1 = dysum
+    else:
+        dy1 = gy
+        dx_tail = gy if residual else None
+    if rate_out:
+        dy0 = jnp.where(_drop_keep(seed_ref, b, r0, dy1.shape, rate_out, 2),
+                        dy1 * (1.0 / (1.0 - rate_out)), 0.0)
+    else:
+        dy0 = dy1
+    if ln_post:
+        dy0_ref[0] = dy0.astype(dy0_ref.dtype)
+    dy0_b = dy0.astype(x.dtype)
+
+    dxn = jnp.zeros((Rb, E), f32)
+    for f0 in range(0, F, Fc):
+        hp_c = (jax.lax.dot_general(
+            xn, w1_ref[:, f0:f0 + Fc], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+            + b1_ref[0, f0:f0 + Fc].astype(f32))
+        _, gelu_vjp = jax.vjp(gelu, hp_c)
+        dh_c = jax.lax.dot_general(dy0_b, w2_ref[f0:f0 + Fc, :],
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+        if rate_mid:
+            dh_c = jnp.where(
+                _drop_keep(seed_ref, b, r0, dh_c.shape, rate_mid, 1, f0),
+                dh_c * (1.0 / (1.0 - rate_mid)), 0.0)
+        dhp_b = gelu_vjp(dh_c)[0].astype(x.dtype)
+        dhp_ref[0, :, f0:f0 + Fc] = dhp_b
+        dxn = dxn + jax.lax.dot_general(dhp_b, w1_ref[:, f0:f0 + Fc],
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=f32)
+    if ln_eps is not None and not ln_post:
+        dln_ref[0:1] += jnp.sum(dxn * xhat, axis=0, keepdims=True)
+        dln_ref[1:2] += jnp.sum(dxn, axis=0, keepdims=True)
+        dxhat = dxn * lg_ref[...].astype(f32)
+        dx = rstd * (dxhat
+                     - jnp.mean(dxhat, axis=1, keepdims=True)
+                     - xhat * jnp.mean(dxhat * xhat, axis=1, keepdims=True))
+    else:
+        dx = dxn
+    if dx_tail is not None:
+        dx = dx + dx_tail
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
 def _ffn_bwd(ln_eps, ln_post, residual, R, interpret, rate_mid, rate_out,
              res, g):
     x, w1, b1, w2, b2, ln_g, ln_b, seed = res
     has_ln = ln_eps is not None
+    B, Sp, E = x.shape
+    F = w1.shape[1]
+    itemsize = jnp.dtype(x.dtype).itemsize
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
 
-    def ref(xr, w1r, b1r, w2r, b2r, gr, br):
-        ln = (gr, br, ln_eps) if has_ln else None
-        return _xla_reference(xr, w1r, b1r, w2r, b2r, ln=ln,
-                              ln_post=ln_post, residual=residual,
-                              seed=seed, rate_mid=rate_mid,
-                              rate_out=rate_out)
+    from .deberta_attention import _force_xla_bwd
 
-    _, vjp = jax.vjp(ref, x, w1, b1.reshape(-1), w2, b2.reshape(-1),
-                     ln_g.reshape(-1), ln_b.reshape(-1))
-    grads = vjp(g)
-    out = [grads[0]]
-    for gr_ in grads[1:]:
-        out.append(gr_.reshape(1, -1) if gr_.ndim == 1 else gr_)
-    return tuple(out) + (np.zeros(seed.shape, jax.dtypes.float0),)
+    pick = _bwd_pick(Sp, E, F, itemsize, ln_post and has_ln)
+    aligned = interpret or (E % 128 == 0 and F % 128 == 0)
+    if pick is None or not aligned or _force_xla_bwd() or _force_ffn_xla_bwd():
+        # reference-vjp fallback (VMEM envelope / lane alignment / A/B knob)
+        def ref(xr, w1r, b1r, w2r, b2r, gr, br):
+            ln = (gr, br, ln_eps) if has_ln else None
+            return _xla_reference(xr, w1r, b1r, w2r, b2r, ln=ln,
+                                  ln_post=ln_post, residual=residual,
+                                  seed=seed, rate_mid=rate_mid,
+                                  rate_out=rate_out)
+
+        _, vjp = jax.vjp(ref, x, w1, b1.reshape(-1), w2, b2.reshape(-1),
+                         ln_g.reshape(-1), ln_b.reshape(-1))
+        grads = vjp(g)
+        out = [grads[0]]
+        for gr_ in grads[1:]:
+            out.append(gr_.reshape(1, -1) if gr_.ndim == 1 else gr_)
+        return tuple(out) + (dseed,)
+
+    Rb, Fc = pick
+    f32 = jnp.float32
+    approximate = jnp.dtype(x.dtype) == jnp.bfloat16
+    post = ln_post and has_ln
+    bse = pl.BlockSpec((1, Rb, E), lambda b, r: (b, r, 0))
+    bsf = pl.BlockSpec((1, Rb, F), lambda b, r: (b, r, 0))
+    out_specs = [bse, bsf, pl.BlockSpec((8, E), lambda b, r: (0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((B, Sp, E), x.dtype),
+                 jax.ShapeDtypeStruct((B, Sp, F), x.dtype),
+                 jax.ShapeDtypeStruct((8, E), f32)]
+    if post:
+        out_specs.append(bse)
+        out_shape.append(jax.ShapeDtypeStruct((B, Sp, E), x.dtype))
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, ln_eps=ln_eps, ln_post=post,
+                          residual=residual, approximate=approximate,
+                          rate_mid=rate_mid, rate_out=rate_out, Rb=Rb,
+                          Fc=Fc),
+        grid=(B, Sp // Rb),
+        in_specs=[bse, bse,
+                  pl.BlockSpec((E, F), lambda b, r: (0, 0)),
+                  pl.BlockSpec((1, F), lambda b, r: (0, 0)),
+                  pl.BlockSpec((F, E), lambda b, r: (0, 0)),
+                  pl.BlockSpec((1, E), lambda b, r: (0, 0)),
+                  pl.BlockSpec((1, E), lambda b, r: (0, 0)),
+                  pl.BlockSpec((1, E), lambda b, r: (0, 0)),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(x, g, w1, b1, w2, b2, ln_g, ln_b, seed)
+    if post:
+        dx, dhp, dln, dy0 = outs
+        dy0 = dy0.astype(f32)
+    else:
+        dx, dhp, dln = outs
+
+    # weight grads: (B, Sp)-contractions as big XLA matmuls. xn and h_d
+    # are recomputed here (one matmul + elementwise — the same recompute
+    # a remat'd vjp pays); padded rows carry zero cotangents from the
+    # kernel, so they contribute nothing.
+    if has_ln and not ln_post:
+        xf = x.astype(f32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        xn = ((xf - mu) * jax.lax.rsqrt(var + ln_eps)
+              * ln_g.reshape(-1).astype(f32)
+              + ln_b.reshape(-1).astype(f32)).astype(x.dtype)
+    else:
+        xn = x
+    dw1 = jnp.einsum("bse,bsf->ef", xn, dhp,
+                     preferred_element_type=f32).astype(w1.dtype)
+    db1 = jnp.sum(dhp.astype(f32), axis=(0, 1)).reshape(1, F).astype(
+        b1.dtype)
+    hp = (jnp.einsum("bse,ef->bsf", xn, w1, preferred_element_type=f32)
+          + b1.reshape(-1).astype(f32))
+    h = _gelu_f32(hp, approximate)
+    if rate_mid:
+        h = _ref_drop(h, seed, rate_mid, 1)
+    h_d = h.astype(x.dtype)
+    if not post:
+        dy0 = g.astype(f32)
+        if rate_out:
+            dy0 = _ref_drop(dy0, seed, rate_out, 2)
+    dw2 = jnp.einsum("bsf,bse->fe", h_d, dy0,
+                     preferred_element_type=f32).astype(w2.dtype)
+    db2 = jnp.sum(dy0, axis=(0, 1)).reshape(1, E).astype(b2.dtype)
+    if has_ln:
+        dln_g = dln[0:1].astype(ln_g.dtype)
+        dln_b = dln[1:2].astype(ln_b.dtype)
+    else:
+        dln_g = jnp.zeros_like(ln_g)
+        dln_b = jnp.zeros_like(ln_b)
+    return (dx, dw1, db1, dw2, db2, dln_g, dln_b, dseed)
 
 
 _ffn.defvjp(_ffn_fwd, _ffn_bwd)

@@ -1019,3 +1019,82 @@ def test_force_xla_bwd_env_knob(monkeypatch):
     assert _force_xla_bwd() is True
     monkeypatch.setenv("SMM_PALLAS_BWD", "1")
     assert _force_xla_bwd() is False
+
+@pytest.mark.parametrize("ln_mode", ["pre", "none"])
+def test_ffn_block_grads_pre_ln_and_bare(ln_mode):
+    """The dedicated Pallas FFN backward matches the reference vjp in the
+    pre-LN (ViT hot path) and bare placements, with both dropout draws
+    live (weighted-sum loss — never sum-of-squares through an LN tail)."""
+    from simple_multimodal_tpu.ops.pallas import ffn_block as fb
+
+    B, S, E, F = 2, 130, 32, 64  # ragged rows exercise the pad-trim VJP
+    rng = np.random.default_rng(52)
+    x = rng.standard_normal((B, S, E)).astype(np.float32)
+    w1 = (rng.standard_normal((E, F)) * 0.1).astype(np.float32)
+    b1 = (rng.standard_normal((F,)) * 0.1).astype(np.float32)
+    w2 = (rng.standard_normal((F, E)) * 0.1).astype(np.float32)
+    b2 = (rng.standard_normal((E,)) * 0.1).astype(np.float32)
+    g = rng.standard_normal((E,)).astype(np.float32)
+    b = rng.standard_normal((E,)).astype(np.float32)
+    w_out = rng.standard_normal(x.shape).astype(np.float32)
+    ln = (g, b, 1e-7) if ln_mode == "pre" else None
+    seed_arr = jnp.full((1,), 77, jnp.int32)
+    r_mid, r_out = 0.2, 0.15
+
+    def loss_fused(x, w1, b1, w2, b2, g, b):
+        out = fb.ffn_block(x, w1, b1, w2, b2,
+                           ln=None if ln is None else (g, b, 1e-7),
+                           ln_post=False, residual=True, interpret=True,
+                           dropout_rate_mid=r_mid, dropout_rate_out=r_out,
+                           dropout_seed=jnp.int32(77))
+        return jnp.sum(out * w_out)
+
+    def loss_ref(x, w1, b1, w2, b2, g, b):
+        out = fb._xla_reference(x, w1, b1, w2, b2,
+                                ln=None if ln is None else (g, b, 1e-7),
+                                ln_post=False, residual=True,
+                                seed=seed_arr, rate_mid=r_mid,
+                                rate_out=r_out)
+        return jnp.sum(out * w_out)
+
+    args = (x, w1, b1, w2, b2, g, b)
+    gf = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for a, e in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a).reshape(np.asarray(e).shape),
+                                   np.asarray(e), atol=5e-5, rtol=5e-4)
+
+
+def test_ffn_bwd_knob_and_chunked_kernel_agree(monkeypatch):
+    """SMM_FFN_BWD=0 (reference-vjp fallback) and the dedicated Pallas
+    backward produce the same grads, including when F chunks into
+    multiple tiles (F=384 -> only Fc=128 divides: three-chunk loop)."""
+    from simple_multimodal_tpu.ops.pallas import ffn_block as fb
+
+    B, S, E, F = 1, 96, 32, 384  # F=384 -> Fc=128: three-chunk loop
+    rng = np.random.default_rng(53)
+    x = rng.standard_normal((B, S, E)).astype(np.float32)
+    w1 = (rng.standard_normal((E, F)) * 0.1).astype(np.float32)
+    b1 = (rng.standard_normal((F,)) * 0.1).astype(np.float32)
+    w2 = (rng.standard_normal((F, E)) * 0.1).astype(np.float32)
+    b2 = (rng.standard_normal((E,)) * 0.1).astype(np.float32)
+    g = rng.standard_normal((E,)).astype(np.float32)
+    b = rng.standard_normal((E,)).astype(np.float32)
+    w_out = rng.standard_normal(x.shape).astype(np.float32)
+    assert fb._bwd_pick(96, E, F, 4, False)[1] == 128  # chunked for real
+
+    def loss(x, w1, b1, w2, b2, g, b):
+        out = fb.ffn_block(x, w1, b1, w2, b2, ln=(g, b, 1e-7),
+                           ln_post=True, residual=True, interpret=True)
+        return jnp.sum(out * w_out)
+
+    args = (x, w1, b1, w2, b2, g, b)
+    g_pallas = jax.grad(loss, argnums=tuple(range(7)))(*args)
+    monkeypatch.setenv("SMM_FFN_BWD", "0")
+    jax.clear_caches()
+    g_vjp = jax.grad(loss, argnums=tuple(range(7)))(*args)
+    monkeypatch.delenv("SMM_FFN_BWD")
+    jax.clear_caches()
+    for a, e in zip(g_pallas, g_vjp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   atol=5e-5, rtol=5e-4)

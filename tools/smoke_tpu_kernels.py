@@ -304,6 +304,60 @@ def smoke_ffn(B=240, S=197, E=768, F=3072):
         _check(f"ffn ln_post={post}", out / scl, ref / scl, 5e-2)
 
 
+def smoke_ffn_bwd(B=240, S=197, E=768, F=3072):
+    """Dedicated Pallas FFN backward (round 5) at the ViT stack shape,
+    compiled under Mosaic: validates the _bwd_pick VMEM envelope for real
+    (round-3 lesson: the estimate lies, the chip doesn't) and grad parity
+    vs the XLA reference vjp — pre-LN with BOTH dropout draws live (the
+    training hot path) and post-LN (DeBERTa/wav2vec2 placement)."""
+    from simple_multimodal_tpu.ops.pallas import ffn_block as fb
+
+    print("FFN dedicated Pallas backward vs XLA-reference vjp:")
+    rng = np.random.default_rng(5)
+    tree = {
+        "x": jnp.asarray(rng.standard_normal((B, S, E)), jnp.float32),
+        "w1": jnp.asarray(rng.standard_normal((E, F)) * 0.05, jnp.float32),
+        "b1": jnp.asarray(rng.standard_normal((F,)) * 0.05, jnp.float32),
+        "w2": jnp.asarray(rng.standard_normal((F, E)) * 0.05, jnp.float32),
+        "b2": jnp.asarray(rng.standard_normal((E,)) * 0.05, jnp.float32),
+        "g": jnp.asarray(rng.standard_normal((E,)), jnp.float32),
+        "b": jnp.asarray(rng.standard_normal((E,)), jnp.float32),
+    }
+    wsum = jnp.asarray(rng.standard_normal((B, S, E)), jnp.float32)
+    seed = jnp.full((1,), 99, jnp.int32)
+
+    for post, r_mid, r_out in ((False, 0.1, 0.1), (True, 0.0, 0.1)):
+        def loss_fused(t):
+            return jnp.sum(fb.ffn_block(
+                t["x"].astype(jnp.bfloat16), t["w1"].astype(jnp.bfloat16),
+                t["b1"].astype(jnp.bfloat16), t["w2"].astype(jnp.bfloat16),
+                t["b2"].astype(jnp.bfloat16),
+                ln=(t["g"].astype(jnp.bfloat16),
+                    t["b"].astype(jnp.bfloat16), 1e-7),
+                ln_post=post, residual=True, dropout_rate_mid=r_mid,
+                dropout_rate_out=r_out,
+                dropout_seed=jnp.int32(99)).astype(jnp.float32) * wsum)
+
+        def loss_ref(t):
+            return jnp.sum(fb._xla_reference(
+                t["x"].astype(jnp.bfloat16), t["w1"].astype(jnp.bfloat16),
+                t["b1"].astype(jnp.bfloat16), t["w2"].astype(jnp.bfloat16),
+                t["b2"].astype(jnp.bfloat16),
+                ln=(t["g"].astype(jnp.bfloat16),
+                    t["b"].astype(jnp.bfloat16), 1e-7),
+                ln_post=post, residual=True, seed=seed, rate_mid=r_mid,
+                rate_out=r_out).astype(jnp.float32) * wsum)
+
+        gf = jax.jit(jax.grad(loss_fused))(tree)
+        gr = jax.jit(jax.grad(loss_ref))(tree)
+        gmax = max(float(jnp.max(jnp.abs(e))) for e in
+                   jax.tree_util.tree_leaves(gr))
+        for k in tree:
+            scl = max(float(jnp.max(jnp.abs(gr[k]))), 1e-2 * gmax)
+            _check(f"ffn bwd ln_post={post} d{k}", gf[k] / scl, gr[k] / scl,
+                   5e-2)
+
+
 def main():
     if jax.default_backend() != "tpu":
         raise SystemExit("needs a TPU backend (got %s)" % jax.default_backend())
@@ -313,6 +367,7 @@ def main():
     smoke_block()
     smoke_block_ln()
     smoke_ffn()
+    smoke_ffn_bwd()
     print("all kernel smokes passed on-chip")
 
 
