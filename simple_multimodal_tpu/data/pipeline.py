@@ -151,6 +151,62 @@ class DeviceCachedLoader:
             yield batch
 
 
+class DistributedLoader:
+    """Multi-host batch feeding: each process contributes only ITS rows of
+    the global batch; shards stitch into global ``jax.Array``s.
+
+    The host loader yields full GLOBAL batches (fine at this framework's
+    CSV scale — every process constructs the same global batch
+    deterministically, as the reference's single-node loaders would); this
+    wrapper slices out the rows owned by this process's addressable shards
+    of a ``P('data')`` sharding and assembles global arrays with
+    ``jax.make_array_from_process_local_data``, so no process ever
+    transfers another host's rows. On a single process it degrades to a
+    plain sharded ``device_put``. Multi-host stance: SURVEY §2.3/§5 —
+    data axis across DCN, model axis over ICI (parallel/mesh.py).
+    """
+
+    _HOST_FIELDS = ("text_raw", "sample_ids")
+
+    def __init__(self, loader, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self._loader = loader
+        self._mesh = mesh
+        self._sharding = NamedSharding(mesh, P("data"))
+        self.dataset = getattr(loader, "dataset", None)
+
+    def __len__(self):
+        return len(self._loader)
+
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self._loader, "set_epoch"):
+            self._loader.set_epoch(epoch)
+
+    def _put(self, v):
+        v = np.asarray(v)
+        if jax.process_count() == 1:
+            return jax.device_put(v, self._sharding)
+        nproc = jax.process_count()
+        rows = v.shape[0] // nproc
+        lo = jax.process_index() * rows
+        local = v[lo:lo + rows]
+        return jax.make_array_from_process_local_data(
+            self._sharding, local, global_shape=v.shape)
+
+    def __iter__(self):
+        for batch in self._loader:
+            out = {}
+            for k, v in batch.items():
+                if k in self._HOST_FIELDS:
+                    out[k] = v
+                elif isinstance(v, dict):
+                    out[k] = {kk: self._put(vv) for kk, vv in v.items()}
+                else:
+                    out[k] = self._put(v)
+            yield out
+
+
 def estimate_batch_bytes(batch) -> int:
     total = 0
     for leaf in jax.tree_util.tree_leaves(batch):
