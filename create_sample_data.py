@@ -27,6 +27,12 @@ def main():
     parser.add_argument("--duration", type=float, default=3.0,
                         help="Clip duration in seconds")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--difficulty", type=float, default=0.0,
+                        help="0 (default, separable recipes) .. 1 (hard: "
+                             "blended class recipes, cross-modal text "
+                             "conflicts, 10%% label noise). Use ~1.0 for "
+                             "convergence-regression runs so neither a "
+                             "collapse NOR a suspicious 1.00 F1 passes.")
     args = parser.parse_args()
 
     np.random.seed(args.seed)
@@ -36,6 +42,7 @@ def main():
         emotions=args.emotions,
         seed=args.seed,
         duration=args.duration,
+        difficulty=args.difficulty,
     )
     print("Sample dataset ready!")
     print(f"Location: {path}")

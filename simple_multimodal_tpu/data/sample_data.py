@@ -165,8 +165,30 @@ def create_sample_dataset(
     emotions: Optional[List[str]] = None,
     seed: int = 42,
     duration: float = 3.0,
+    difficulty: float = 0.0,
 ) -> str:
-    """Generate media + train/val/test CSVs (reference: create_sample_data.py:157-326)."""
+    """Generate media + train/val/test CSVs (reference: create_sample_data.py:157-326).
+
+    ``difficulty`` in [0, 1] un-saturates the convergence bar (the default
+    recipes are separable enough that val/test F1 hits 1.00 by epoch ~7 —
+    round-4 finding: a saturated signal can't catch regressions). At
+    difficulty d, each sample draws a random *confuser* emotion and:
+
+    - audio/video are blended ``(1-a)*own + a*confuser`` with a = 0.5*d
+      (recipe overlap — classes genuinely collide in feature space),
+      plus extra audio noise at 0.25*d RMS;
+    - with prob 0.5*d the text comes from the confuser (cross-modal
+      conflict);
+    - with prob 0.1*d the LABEL is flipped to the confuser (label noise:
+      at d=1 the Bayes-optimal test F1 is ~0.9, so a perfect score is as
+      suspicious as a collapsed one).
+
+    d=0 reproduces the original generator bit-for-bit (no extra rng
+    draws). The knob is recorded in ``generation_meta.json``.
+    """
+    difficulty = float(difficulty)
+    if not 0.0 <= difficulty <= 1.0:
+        raise ValueError(f"difficulty must be in [0, 1], got {difficulty}")
     emotions = emotions or EMOTIONS
     out = Path(output_dir)
     audio_dir = out / "audio"
@@ -183,13 +205,40 @@ def create_sample_dataset(
         for i in range(num_samples_per_emotion):
             audio_name = f"{emotion}_{i:03d}.wav"
             video_name = f"{emotion}_{i:03d}.mp4"
-            write_wav(audio_dir / audio_name, synth_audio(emotion, duration, rng=rng), 16000)
-            write_video(video_dir / video_name, synth_video(emotion, duration, rng=rng))
+            audio = synth_audio(emotion, duration, rng=rng)
+            video = synth_video(emotion, duration, rng=rng)
+            text = texts[i % len(texts)]
+            label = emotion
+            if difficulty > 0:
+                others = [e for e in emotions if e != emotion] or [emotion]
+                confuser = others[int(rng.integers(len(others)))]
+                a = 0.5 * difficulty
+                ca = synth_audio(confuser, duration, rng=rng)
+                n = min(len(audio), len(ca))
+                audio = ((1 - a) * audio[:n] + a * ca[:n]
+                         + 0.25 * difficulty
+                         * rng.standard_normal(n)).astype(np.float32)
+                peak = np.max(np.abs(audio))
+                if peak > 0:
+                    audio = (audio / peak * 0.8).astype(np.float32)
+                cv = synth_video(confuser, duration, rng=rng)
+                t = min(len(video), len(cv))
+                video = ((1 - a) * video[:t].astype(np.float32)
+                         + a * cv[:t].astype(np.float32)).clip(
+                             0, 255).astype(np.uint8)
+                if rng.random() < 0.5 * difficulty:
+                    ctexts = SAMPLE_TEXTS.get(confuser,
+                                              SAMPLE_TEXTS["neutral"])
+                    text = ctexts[int(rng.integers(len(ctexts)))]
+                if rng.random() < 0.1 * difficulty:
+                    label = confuser
+            write_wav(audio_dir / audio_name, audio, 16000)
+            write_video(video_dir / video_name, video)
             rows.append({
-                "text": texts[i % len(texts)],
+                "text": text,
                 "audio_path": f"audio/{audio_name}",
                 "video_path": f"video/{video_name}",
-                "emotion": emotion,
+                "emotion": label,
                 "sample_id": sample_id,
             })
             sample_id += 1
@@ -211,4 +260,11 @@ def create_sample_dataset(
             )
             writer.writeheader()
             writer.writerows(data)
+    import json
+
+    with open(out / "generation_meta.json", "w") as f:
+        json.dump({"seed": seed, "duration": duration,
+                   "difficulty": difficulty,
+                   "num_samples_per_emotion": num_samples_per_emotion,
+                   "emotions": list(emotions)}, f, indent=2)
     return str(out)
