@@ -44,7 +44,8 @@ def build_batch(cfg, B, rng):
     }
 
 
-def run_config(remat: bool, B: int, iters: int, preset: str):
+def run_config(remat: bool, B: int, iters: int, preset: str,
+               prior_peak: int = 0):
     import jax
 
     from simple_multimodal_tpu.config import ModelConfig
@@ -88,12 +89,17 @@ def run_config(remat: bool, B: int, iters: int, preset: str):
 
     from simple_multimodal_tpu.utils.profiling import memory_stats
 
+    # peak_bytes_in_use is a process-lifetime MONOTONIC high-water mark:
+    # it only attributes to THIS config when this run pushed past every
+    # prior run's peak (advisor r4). Report it with that flag so later
+    # rounds can't silently inherit the first config's larger peak.
     peak = max((s.get("peak_bytes_in_use") or 0)
                for s in memory_stats().values()) if memory_stats() else 0
+    own_peak = peak > prior_peak
 
     del state, parts, tb, params, step, tx
     gc.collect()
-    return sec, compile_s, loss0, peak
+    return sec, compile_s, loss0, peak, own_peak
 
 
 def main():
@@ -114,14 +120,19 @@ def main():
         pass
 
     results = {True: [], False: []}
+    prior_peak = 0
     for r in range(args.rounds):
         for remat in (True, False):
-            sec, compile_s, loss, peak = run_config(
-                remat, args.batch, args.iters, args.preset)
+            sec, compile_s, loss, peak, own = run_config(
+                remat, args.batch, args.iters, args.preset, prior_peak)
             results[remat].append(sec)
+            peak_s = (f"peak_hbm {peak/2**30:.2f} GiB" if own else
+                      f"peak_hbm <= {peak/2**30:.2f} GiB (prior-run "
+                      f"ceiling, not this config's own)")
             print(f"round {r} remat={int(remat)}: {sec*1e3:.1f} ms/step "
                   f"({args.batch/sec:.2f} clips/s) compile {compile_s:.1f}s "
-                  f"loss {loss:.4f} peak_hbm {peak/2**30:.2f} GiB", flush=True)
+                  f"loss {loss:.4f} {peak_s}", flush=True)
+            prior_peak = max(prior_peak, peak)
 
     for remat in (True, False):
         xs = results[remat]

@@ -316,7 +316,7 @@ def main():
                         help="Kernel engagement inside the TRAIN step "
                              "(auto = measured per-backend default; "
                              "see ops/attention.py)")
-    parser.add_argument("--remat", type=str, default="1",
+    parser.add_argument("--remat", type=str, default="1", choices=["0", "1"],
                         help="Gradient-checkpoint (remat) the encoder stacks: "
                              "1 (default; lowest memory) / 0 (save layer "
                              "activations instead of recomputing them in the "
