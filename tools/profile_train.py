@@ -1,14 +1,27 @@
-"""Per-component on-chip timing of the flagship TRAIN step.
+"""Per-stage on-chip budget of the TRAIN step (backward + optimizer).
 
-Splits the batch-8 hierarchical-base train step (fwd+bwd+AdamW, remat) into
-per-encoder value_and_grad passes plus the optimizer update so the backward
-gap has a measured owner. Roofline: backward ≈ 2x forward FLOPs, remat adds
-one forward; optimizer is pure HBM traffic over the f32 params+moments.
+The forward has had a per-stage table since round 2 (profile_flagship.py);
+this produces the same attribution for the train step, so the gap between
+the measured step time and the FLOP-ideal is assigned to stages instead of
+guessed. Method: for each component, time forward-only and
+``value_and_grad`` of a weighted-random-sum loss (NOT sum(out**2): through
+a trailing LayerNorm that loss is pure cancellation noise — CLAUDE.md), so
 
-Usage: python tools/profile_train.py [--no-remat]  (TPU backend)
+    bwd+remat-recompute ≈ t(grad) − t(fwd).
+
+The optimizer update is timed separately on a real grad tree, and the full
+bench-parity train step (augment + loss assembly + AdamW + donation) is
+timed as the cross-check total. Matches the reference's per-batch hot loop
+(/root/reference/training/advanced_trainer.py:126-196).
+
+Usage:  python tools/profile_train.py            # full table (TPU)
+        python tools/profile_train.py --stacks   # only the ViT-stack A/Bs
+        SMM_PALLAS_BWD=0 ...                     # XLA-vjp backward A/B
 """
-import sys
+import argparse
+import json
 import pathlib
+import sys
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
@@ -16,27 +29,151 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import jax
 import jax.numpy as jnp
 import numpy as np
-
+from flax import linen as nn
 
 from _timing import timeit  # noqa: E402
 
+# ViT-stack shape: 8 clips x 30 frames, 197 tokens, ViT-base
+N_ROWS, S_VIT, E_VIT, F_VIT = 240, 197, 768, 3072
+N_LAYERS = 12
 
-def main():
+
+def _wloss(out, w):
+    return jnp.sum(out.astype(jnp.float32) * w)
+
+
+class _FFNStack(nn.Module):
+    """12 stacked pre-LN FFN sub-blocks exactly as ViTLayer._ffn invokes
+    the fused kernel (vit.py:132-163): h + W2·gelu(W1·LN(h))."""
+
+    L: int
+    E: int
+    F: int
+    dtype: jnp.dtype
+    remat: bool
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x):
+        from simple_multimodal_tpu.ops.pallas.ffn_block import ffn_block
+
+        E, F, L = self.E, self.F, self.L
+        k = nn.linear.default_kernel_init
+        w1 = self.param("w1", k, (L, E, F))
+        b1 = self.param("b1", nn.initializers.zeros, (L, F))
+        w2 = self.param("w2", k, (L, F, E))
+        b2 = self.param("b2", nn.initializers.zeros, (L, E))
+        g = self.param("g", nn.initializers.ones, (L, E))
+        b = self.param("b", nn.initializers.zeros, (L, E))
+        dt = self.dtype
+
+        def body(h, p):
+            pw1, pb1, pw2, pb2, pg, pb = (a.astype(dt) for a in p)
+            out = ffn_block(h, pw1, pb1, pw2, pb2,
+                            ln=(pg, pb, self.eps), ln_post=False,
+                            residual=True)
+            return out, None
+
+        if self.remat:
+            body = jax.checkpoint(body, prevent_cse=False)
+        x, _ = jax.lax.scan(body, x, (w1, b1, w2, b2, g, b))
+        return x
+
+
+class _AttnStack(nn.Module):
+    """12 stacked pre-LN attention sub-blocks as ViTLayer._body invokes
+    the fused kernel (vit.py:183-203): x + proj(attn(LN(x)))."""
+
+    L: int
+    E: int
+    H: int
+    dtype: jnp.dtype
+    remat: bool
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x):
+        from simple_multimodal_tpu.ops.pallas.attention_block import (
+            attention_block,
+        )
+
+        E, L = self.E, self.L
+        k = nn.linear.default_kernel_init
+        ws = {n: self.param(f"w{n}", k, (L, E, E)) for n in "qkvo"}
+        bs = {n: self.param(f"b{n}", nn.initializers.zeros, (L, E))
+              for n in "qkvo"}
+        g = self.param("g", nn.initializers.ones, (L, E))
+        b = self.param("b", nn.initializers.zeros, (L, E))
+        dt = self.dtype
+
+        def body(h, p):
+            wq, wk, wv, wo, bq, bk, bv, bo, pg, pb = (
+                a.astype(dt) for a in p)
+            out = attention_block(h, wq, bq, wk, bk, wv, bv, wo, bo,
+                                  num_heads=self.H,
+                                  ln=(pg, pb, self.eps), residual=True)
+            return out, None
+
+        if self.remat:
+            body = jax.checkpoint(body, prevent_cse=False)
+        x, _ = jax.lax.scan(
+            body, x, (ws["q"], ws["k"], ws["v"], ws["o"],
+                      bs["q"], bs["k"], bs["v"], bs["o"], g, b))
+        return x
+
+
+def time_stack(mod, x, w, label, rows):
+    p = jax.jit(mod.init)(jax.random.PRNGKey(0), x)
+    fwd = timeit(jax.jit(lambda pp: mod.apply(pp, x)), p)
+
+    def lg(pp):
+        return jax.value_and_grad(lambda q: _wloss(mod.apply(q, x), w))(pp)
+
+    grad = timeit(jax.jit(lg), p)
+    rows.append((label, fwd, grad))
+    return fwd, grad
+
+
+def stack_table(remat: bool):
+    rows = []
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((N_ROWS, S_VIT, E_VIT)) * 0.02,
+                    jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((N_ROWS, S_VIT, E_VIT)), jnp.float32)
+    time_stack(_FFNStack(N_LAYERS, E_VIT, F_VIT, jnp.bfloat16, remat),
+               x, w, f"ViT FFN stack x12 (remat={int(remat)})", rows)
+    time_stack(_AttnStack(N_LAYERS, E_VIT, 12, jnp.bfloat16, remat),
+               x, w, f"ViT attn stack x12 (remat={int(remat)})", rows)
+    return rows
+
+
+def print_rows(rows):
+    print(f"{'component':46s} {'fwd ms':>8s} {'grad ms':>9s} "
+          f"{'bwd ms':>8s} {'bwd/lyr':>8s}")
+    for label, fwd, grad in rows:
+        bwd = grad - fwd
+        print(f"{label:46s} {fwd*1e3:8.2f} {grad*1e3:9.2f} "
+              f"{bwd*1e3:8.2f} {bwd*1e3/N_LAYERS:8.2f}")
+
+
+def full_table(args):
     from simple_multimodal_tpu.config import ModelConfig
+    from simple_multimodal_tpu.data.video_wire import packed_height
     from simple_multimodal_tpu.models.encoders import (
         AudioEncoder, TextEncoder, VideoEncoder,
     )
     from simple_multimodal_tpu.models.multimodal_model import (
         MultimodalEmotionModel, resolve_dtype,
     )
-    from simple_multimodal_tpu.data.video_wire import packed_height
+    from simple_multimodal_tpu.train.optim import make_optimizer
+    from simple_multimodal_tpu.train.state import TrainState
+    from simple_multimodal_tpu.train.steps import make_train_step
 
     cfg = ModelConfig()
     cfg.encoder_preset = "base"
     cfg.fusion_type = "hierarchical"
     cfg.compute_dtype = "bfloat16"
-    if "--no-remat" in sys.argv:
-        cfg.remat_encoders = False
+    cfg.remat_encoders = args.remat
     dt = resolve_dtype(cfg)
     B = 8
     rng = np.random.default_rng(0)
@@ -46,85 +183,118 @@ def main():
     wav = jnp.asarray(rng.standard_normal((B, 160000)) * 0.1, jnp.float32)
     video = jnp.asarray(
         rng.integers(0, 255, (B, 30, packed_height(224), 224)), jnp.uint8)
-    y = jnp.asarray(rng.integers(0, 7, (B,)), jnp.int32)
-
-    def record(name, t):
-        rows.append((name, t))
-        print(f"{name:28s}: {t*1e3:8.2f} ms", flush=True)
-
-    def grad_time(enc, apply_args, p):
-        def loss(p):
-            out = enc.apply(p, *apply_args)
-            feats = out["features"] if isinstance(out, dict) else out
-            return jnp.sum(feats.astype(jnp.float32) ** 2)
-        return timeit(jax.jit(jax.grad(loss)), p)
-
-    rows = []
-    te = TextEncoder(cfg, dtype=dt)
-    pt = jax.jit(te.init)(jax.random.PRNGKey(0), ids, mask)
-    record("text grad", grad_time(te, (ids, mask), pt))
-    del pt
-
-    ae = AudioEncoder(cfg, dtype=dt)
-    pa = jax.jit(ae.init)(jax.random.PRNGKey(1), wav)
-    record("audio grad", grad_time(ae, (wav,), pa))
-    del pa
-
-    ve = VideoEncoder(cfg, dtype=dt)
-    pv = jax.jit(ve.init)(jax.random.PRNGKey(2), video)
-    record("video grad", grad_time(ve, (video,), pv))
-    del pv
-    import gc
-    gc.collect()
-
-    # full train step (the real one)
-    from simple_multimodal_tpu.train.optim import make_optimizer
-    from simple_multimodal_tpu.train.state import TrainState
-    from simple_multimodal_tpu.train.steps import make_train_step
-
-    model = MultimodalEmotionModel(cfg, dtype=dt)
     text_in = {"input_ids": ids, "attention_mask": mask}
-    pm = jax.jit(model.init)(jax.random.PRNGKey(3), text_in, wav, video)
-    tx = make_optimizer(cfg, pm, total_steps=1000)
+    labels = jnp.asarray(rng.integers(0, cfg.num_emotions, (B,)), jnp.int32)
 
-    # optimizer update alone (measures the AdamW HBM pass)
-    g = jax.tree_util.tree_map(jnp.ones_like, pm)
-    opt_state = jax.jit(tx.init)(pm)
+    rows = []  # (label, fwd, grad)
 
-    def opt_only(g, opt_state, pm):
-        up, new_os = tx.update(g, opt_state, pm)
-        import optax
-        return optax.apply_updates(pm, up), new_os
-    record("optimizer update alone", timeit(jax.jit(opt_only), g,
-                                            opt_state, pm))
-    del g, opt_state
+    # ---- per-encoder fwd vs grad (weighted-sum loss) --------------------
+    for name, enc, enc_args in (
+        ("text encoder (DeBERTa S=512)", TextEncoder(cfg, dtype=dt),
+         (ids, mask)),
+        ("audio encoder (wav2vec2+temporal)", AudioEncoder(cfg, dtype=dt),
+         (wav,)),
+        ("video encoder (ViT x30 + biLSTM)", VideoEncoder(cfg, dtype=dt),
+         (video,)),
+    ):
+        p = jax.jit(enc.init)(jax.random.PRNGKey(0), *enc_args)
+        out0 = jax.eval_shape(lambda pp: enc.apply(pp, *enc_args), p)
+        w = jnp.asarray(rng.standard_normal(out0.shape), jnp.float32)
+        fwd = timeit(jax.jit(lambda pp: enc.apply(pp, *enc_args)), p)
 
-    state = TrainState.create(
-        jax.tree_util.tree_map(jnp.array, pm), tx, jax.random.PRNGKey(1))
-    step = make_train_step(model, tx, cfg, augment=True,
+        def lg(pp, _enc=enc, _args=enc_args, _w=w):
+            return jax.value_and_grad(
+                lambda q: _wloss(_enc.apply(q, *_args), _w))(pp)
+
+        grad = timeit(jax.jit(lg), p)
+        rows.append((name, fwd, grad))
+        del p
+
+    # ---- full model: fwd, grad, optimizer, whole step -------------------
+    model = MultimodalEmotionModel(cfg, dtype=dt)
+    params = jax.jit(model.init)(jax.random.PRNGKey(3), text_in, wav, video)
+
+    from simple_multimodal_tpu.train.losses import total_loss
+
+    def loss_fn(p, rng_drop):
+        outputs = model.apply(p, text_in, wav, video,
+                              compute_contrastive_loss=True,
+                              deterministic=False,
+                              rngs={"dropout": rng_drop})
+        loss, _ = total_loss(outputs, labels, label_smoothing=0.1)
+        return loss
+
+    key = jax.random.PRNGKey(7)
+    fwd_full = timeit(jax.jit(loss_fn), params, key)
+    grad_fn = jax.jit(lambda p, k: jax.value_and_grad(loss_fn)(p, k))
+    grad_full = timeit(grad_fn, params, key)
+    rows.append(("full model (loss fwd vs value_and_grad)",
+                 fwd_full, grad_full))
+
+    # optimizer update alone, on the real grad tree
+    tx = make_optimizer(cfg, params, total_steps=1000)
+    opt_state = tx.init(params)
+    _, grads = grad_fn(params, key)
+
+    def opt_only(g, s, p):
+        updates, s2 = tx.update(g, s, p)
+        p2 = jax.tree_util.tree_map(lambda a, u: a + u.astype(a.dtype),
+                                    p, updates)
+        return p2, s2
+
+    t_opt = timeit(jax.jit(opt_only), grads, opt_state, params)
+    del opt_state, grads
+
+    # bench-parity full train step (donated), loop-timed like bench.py
+    tx2 = make_optimizer(cfg, params, total_steps=1000)
+    train_params = jax.tree_util.tree_map(jnp.array, params)
+    state = TrainState.create(train_params, tx2, jax.random.PRNGKey(1))
+    step = make_train_step(model, tx2, cfg, augment=True,
                            compute_contrastive_loss=True)
-    batch = {"text": text_in, "audio": wav, "video": video, "emotion": y}
-    batch = dict(jax.device_put(batch))
-
-    t0 = time.time()
-    state, parts = step(state, batch)
+    tb = {"text": text_in, "audio": jax.device_put(wav),
+          "video": jax.device_put(video), "emotion": labels}
+    state, parts = step(state, tb)
     float(jax.device_get(parts["total_loss"]))
-    compile_s = time.time() - t0
-
-    def run(state):
-        state, parts = step(state, batch)
-        return state, parts["total_loss"]
-    # donation: time by stepping N times sequentially
-    n = 10
     t0 = time.time()
-    for _ in range(n):
-        state, loss = run(state)
-    float(jax.device_get(loss))
-    t_step = (time.time() - t0) / n
+    for _ in range(args.iters):
+        state, parts = step(state, tb)
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    float(jax.device_get(leaf.reshape(-1)[0]))
+    t_step = (time.time() - t0) / args.iters
 
-    print(f"{'full train step':28s}: {t_step*1e3:8.2f} ms  "
-          f"(compile {compile_s:.0f} s, remat={getattr(cfg, 'remat_encoders', True)})")
-    print(f"train clips/s: {B/t_step:.1f}")
+    print_rows(rows)
+    print(f"{'optimizer update only (AdamW+clip+masked)':46s} "
+          f"{'':8s} {'':9s} {t_opt*1e3:8.2f}")
+    print(f"{'full train step (bench parity, donated)':46s} "
+          f"{'':8s} {'':9s} {t_step*1e3:8.2f}")
+    bwd_full = grad_full - fwd_full
+    print(f"\nattribution: fwd {fwd_full*1e3:.1f} + bwd(+remat) "
+          f"{bwd_full*1e3:.1f} + opt {t_opt*1e3:.1f} "
+          f"= {(grad_full+t_opt)*1e3:.1f} ms "
+          f"(step measured {t_step*1e3:.1f})")
+    print(json.dumps({
+        "fwd_ms": round(fwd_full * 1e3, 2),
+        "bwd_ms": round(bwd_full * 1e3, 2),
+        "opt_ms": round(t_opt * 1e3, 2),
+        "step_ms": round(t_step * 1e3, 2),
+        "encoders": {lbl: {"fwd_ms": round(f * 1e3, 2),
+                           "bwd_ms": round((g - f) * 1e3, 2)}
+                     for lbl, f, g in rows},
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stacks", action="store_true",
+                    help="only the isolated ViT attn/FFN stack table")
+    ap.add_argument("--no-remat", dest="remat", action="store_false")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    if args.stacks:
+        print_rows(stack_table(args.remat))
+    else:
+        full_table(args)
 
 
 if __name__ == "__main__":
