@@ -299,7 +299,7 @@ def main():
     parser.add_argument("--flash-train", default="auto", dest="flash_train",
                         help="flash_attention_train flag (kernel engagement "
                              "inside the --train grad step): auto/true/false")
-    parser.add_argument("--remat", default="1",
+    parser.add_argument("--remat", default="1", choices=["0", "1"],
                         help="remat_encoders: 1 (default, gradient-checkpoint "
                              "the encoder stacks) / 0 (save activations; "
                              "faster backward if HBM fits)")
@@ -464,6 +464,31 @@ def main():
         lat.append(time.time() - t0)
     p50_latency = float(np.median(lat))
 
+    # Device-only batch-1 latency, split from link weather (VERDICT r4):
+    # the loop above pays h2d of a clip + a d2h sync per call, so on the
+    # tunneled chip it measures the LINK (~0.3 s) where the README claimed
+    # device time. Here: input device-resident, N calls enqueued (one core
+    # executes them in order), ONE scalar fetch at the end; the bare
+    # dispatch+fetch round trip is measured separately and subtracted.
+    # Reported as the serialized mean — per-call device variance on one
+    # chip is negligible; all percentile spread lives in the link.
+    one_dev = jax.device_put(one)
+    out = forward(params, one_dev["text"], one_dev["audio"], one_dev["video"])
+    sync(out)
+    rtts = []
+    for _ in range(5):
+        t0 = time.time()
+        sync(out + 0)
+        rtts.append(time.time() - t0)
+    rtt = float(np.median(rtts))
+    n_lat = max(args.iters, 10)
+    t0 = time.time()
+    for _ in range(n_lat):
+        out = forward(params, one_dev["text"], one_dev["audio"],
+                      one_dev["video"])
+    sync(out)
+    on_device_latency = max((time.time() - t0 - rtt) / n_lat, 0.0)
+
     train_detail = {}
     if args.train:
         from simple_multimodal_tpu.train.optim import make_optimizer
@@ -522,6 +547,8 @@ def main():
         "forward_clips_per_sec_device_resident": B / dev_med,
         "forward_sec_per_batch_device_resident": dev_med,
         "p50_latency_s_batch1": p50_latency,
+        "on_device_latency_s_batch1": on_device_latency,
+        "link_rtt_s": rtt,
         **train_detail,
     }
 
