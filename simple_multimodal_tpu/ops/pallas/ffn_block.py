@@ -23,8 +23,13 @@ Layer-norm placement covers all three encoders:
 GELU form follows ops/attention.gelu: tanh approximation for bf16 inputs,
 erf-exact for f32 (the bf16 production path lowers as tanh on the VPU).
 
-Backward: a dedicated Pallas bwd kernel (same recipe that won round 4 for
-the attention kernels): per (batch, row-tile) it recomputes the LN/GELU
+Backward: a dedicated Pallas bwd kernel exists (same recipe that won
+round 4 for the attention kernels) but ships DEFAULT-OFF — the round-5
+on-chip A/B measured it 438.9 vs 426.6 ms/step in the full train step
+(and neutral isolated); opt in with SMM_FFN_BWD=1. Default backward is
+jax.vjp of the unfused XLA reference. Kernel recipe, kept for shapes
+where the trade may flip (larger F, longer rows): per (batch, row-tile)
+it recomputes the LN/GELU
 chain in VMEM with an F-chunked loop (the [rows, F] intermediate never
 exists in f32 in HBM), applies the stateless-hash dropout replay, and
 emits dx + the packed [rows, F] pre-GELU cotangent ``dh_pre`` (+``dy0``
@@ -36,8 +41,8 @@ F] cotangent must reach the W1/W2 weight grads either way — what the
 kernel removes vs the XLA-vjp-of-the-unfused-reference is the separate
 materializations of the f32 intermediate, the gelu-saved pre-activation,
 and the post-dropout copies, plus the fused LN backward. Falls back to
-the reference-vjp when the residency exceeds VMEM (``_bwd_pick``) or
-under the SMM_PALLAS_BWD=0 / SMM_FFN_BWD=0 A/B knobs.
+the reference-vjp when the residency exceeds VMEM (``_bwd_pick``), when
+SMM_FFN_BWD is not "1" (the default), or under SMM_PALLAS_BWD=0.
 
 Grid: (B, row-tiles). Weights are grid-constant blocks (fetched once, kept
 resident). VMEM at base dims (E=768, F=3072, R=128, bf16): ~9.4 MB weights
@@ -217,12 +222,19 @@ def _ffn_fwd(x, w1, b1, w2, b2, ln_g, ln_b, seed,
 
 
 def _force_ffn_xla_bwd() -> bool:
-    """SMM_FFN_BWD=0 routes only the FFN backward through the XLA
-    reference vjp — the isolated A/B knob for this kernel (SMM_PALLAS_BWD
-    switches all bwd kernels at once)."""
+    """The dedicated FFN Pallas backward is OPT-IN (SMM_FFN_BWD=1);
+    default is the reference-vjp fallback. Round-5 interleaved
+    same-process A/B on-chip (tools/ab_ffn_bwd.py, v5e, B=8 flagship):
+    Pallas bwd 438.9 ms/step vs vjp 426.6 ms/step median, identical
+    losses — the kernel is correct but loses in-context (and is neutral
+    at best isolated: 144–148 vs 144 ms on the bare 12-layer stack).
+    XLA's vjp of the *unfused* reference already overlaps the weight-grad
+    contractions with the dx chain; the kernel serializes them behind the
+    custom call. Same isolated≠in-context lesson as flash-fwd (round 3).
+    SMM_PALLAS_BWD=0 still switches all bwd kernels at once."""
     import os
 
-    return os.environ.get("SMM_FFN_BWD", "1") == "0"
+    return os.environ.get("SMM_FFN_BWD", "0") != "1"
 
 
 def _bwd_pick(Sp: int, E: int, F: int, itemsize: int, ln_post: bool):

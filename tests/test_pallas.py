@@ -706,9 +706,11 @@ def test_ffn_block_matches_reference(ln_mode):
                                atol=5e-5, rtol=5e-4)
 
 
-def test_ffn_block_grads():
+def test_ffn_block_grads(monkeypatch):
     from simple_multimodal_tpu.ops.pallas import ffn_block as fb
 
+    monkeypatch.setenv("SMM_FFN_BWD", "1")  # Pallas bwd is opt-in (r5 A/B)
+    jax.clear_caches()
     B, S, E, F = 1, 130, 32, 64  # ragged rows exercise the pad-trim VJP
     rng = np.random.default_rng(42)
     x = rng.standard_normal((B, S, E)).astype(np.float32)
@@ -1021,12 +1023,14 @@ def test_force_xla_bwd_env_knob(monkeypatch):
     assert _force_xla_bwd() is False
 
 @pytest.mark.parametrize("ln_mode", ["pre", "none"])
-def test_ffn_block_grads_pre_ln_and_bare(ln_mode):
+def test_ffn_block_grads_pre_ln_and_bare(ln_mode, monkeypatch):
     """The dedicated Pallas FFN backward matches the reference vjp in the
     pre-LN (ViT hot path) and bare placements, with both dropout draws
     live (weighted-sum loss — never sum-of-squares through an LN tail)."""
     from simple_multimodal_tpu.ops.pallas import ffn_block as fb
 
+    monkeypatch.setenv("SMM_FFN_BWD", "1")  # Pallas bwd is opt-in (r5 A/B)
+    jax.clear_caches()
     B, S, E, F = 2, 130, 32, 64  # ragged rows exercise the pad-trim VJP
     rng = np.random.default_rng(52)
     x = rng.standard_normal((B, S, E)).astype(np.float32)
@@ -1089,6 +1093,8 @@ def test_ffn_bwd_knob_and_chunked_kernel_agree(monkeypatch):
         return jnp.sum(out * w_out)
 
     args = (x, w1, b1, w2, b2, g, b)
+    monkeypatch.setenv("SMM_FFN_BWD", "1")  # Pallas bwd is opt-in (r5 A/B)
+    jax.clear_caches()
     g_pallas = jax.grad(loss, argnums=tuple(range(7)))(*args)
     monkeypatch.setenv("SMM_FFN_BWD", "0")
     jax.clear_caches()

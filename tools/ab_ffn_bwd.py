@@ -12,6 +12,11 @@ config is built+jitted fresh under its env setting, one train state
 resident at a time. Matches the reference training hot loop
 (/root/reference/training/advanced_trainer.py:126-182).
 
+VERDICT (v5e, 2 ABAB rounds, losses identical): Pallas FFN bwd 438.9
+ms/step median vs reference-vjp 426.6 — the kernel LOSES in-context and
+is neutral isolated (144-148 vs ~144 ms on the bare 12-layer stack), so
+it ships default-OFF (SMM_FFN_BWD=1 opts in). See RESULTS.md round 5.
+
 Usage: python tools/ab_ffn_bwd.py [--iters 6] [--rounds 2] [--batch 8]
 """
 import argparse

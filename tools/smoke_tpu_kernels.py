@@ -310,8 +310,12 @@ def smoke_ffn_bwd(B=240, S=197, E=768, F=3072):
     (round-3 lesson: the estimate lies, the chip doesn't) and grad parity
     vs the XLA reference vjp — pre-LN with BOTH dropout draws live (the
     training hot path) and post-LN (DeBERTa/wav2vec2 placement)."""
+    import os
+
     from simple_multimodal_tpu.ops.pallas import ffn_block as fb
 
+    os.environ["SMM_FFN_BWD"] = "1"  # Pallas FFN bwd is opt-in (r5 A/B)
+    jax.clear_caches()
     print("FFN dedicated Pallas backward vs XLA-reference vjp:")
     rng = np.random.default_rng(5)
     tree = {
