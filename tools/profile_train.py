@@ -199,12 +199,19 @@ def full_table(args):
     ):
         p = jax.jit(enc.init)(jax.random.PRNGKey(0), *enc_args)
         out0 = jax.eval_shape(lambda pp: enc.apply(pp, *enc_args), p)
-        w = jnp.asarray(rng.standard_normal(out0.shape), jnp.float32)
+        # encoders return dicts; weight every float leaf (weighted-sum loss,
+        # never sum(out**2) through an LN tail — see module docstring)
+        w = [jnp.asarray(rng.standard_normal(s.shape), jnp.float32)
+             if jnp.issubdtype(s.dtype, jnp.inexact) else None
+             for s in jax.tree_util.tree_leaves(out0)]
         fwd = timeit(jax.jit(lambda pp: enc.apply(pp, *enc_args)), p)
 
         def lg(pp, _enc=enc, _args=enc_args, _w=w):
-            return jax.value_and_grad(
-                lambda q: _wloss(_enc.apply(q, *_args), _w))(pp)
+            def loss(q):
+                flat = jax.tree_util.tree_leaves(_enc.apply(q, *_args))
+                return sum(_wloss(o, ww) for o, ww in zip(flat, _w)
+                           if ww is not None)
+            return jax.value_and_grad(loss)(pp)
 
         grad = timeit(jax.jit(lg), p)
         rows.append((name, fwd, grad))
