@@ -173,7 +173,8 @@ def full_table(args):
     cfg.encoder_preset = "base"
     cfg.fusion_type = "hierarchical"
     cfg.compute_dtype = "bfloat16"
-    cfg.remat_encoders = args.remat
+    cfg.remat_encoders = ("auto" if args.remat == "auto"
+                          else args.remat == "1")
     dt = resolve_dtype(cfg)
     B = 8
     rng = np.random.default_rng(0)
@@ -294,12 +295,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stacks", action="store_true",
                     help="only the isolated ViT attn/FFN stack table")
-    ap.add_argument("--no-remat", dest="remat", action="store_false")
+    ap.add_argument("--remat", default="auto", choices=["auto", "0", "1"],
+                    help="remat_encoders for the profiled config "
+                         "(auto = the shipped resolve_remat default)")
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
     if args.stacks:
-        print_rows(stack_table(args.remat))
+        # isolated stacks have no ModelConfig; "auto" = the B=8 ViT-stack
+        # answer (off — fits easily at 240 rows)
+        print_rows(stack_table(args.remat == "1"))
     else:
         full_table(args)
 
