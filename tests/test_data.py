@@ -91,6 +91,52 @@ def test_synth_audio_distinct():
     assert not np.allclose(a, b)
 
 
+def test_difficulty_knob(tmp_path):
+    """--difficulty (create_sample_data.py --difficulty, VERDICT-r4 item 5):
+    d=0 reproduces the original generator bit-for-bit; d=1 blends a
+    confuser into the media, may flip labels, and records the knob."""
+    import csv as _csv
+    import json
+
+    d0a, d0b, d1 = (tmp_path / n for n in ("d0a", "d0b", "d1"))
+    create_sample_dataset(str(d0a), num_samples_per_emotion=2, duration=0.3)
+    create_sample_dataset(str(d0b), num_samples_per_emotion=2, duration=0.3,
+                          difficulty=0.0)
+    create_sample_dataset(str(d1), num_samples_per_emotion=2, duration=0.3,
+                          difficulty=1.0)
+    # d=0 explicit == default, bit-for-bit (csvs and media)
+    for split in ["train", "val", "test"]:
+        assert (d0a / f"{split}.csv").read_bytes() == (
+            d0b / f"{split}.csv").read_bytes()
+    wav = "happy_000.wav"
+    assert (d0a / "audio" / wav).read_bytes() == (
+        d0b / "audio" / wav).read_bytes()
+    # d=1 media genuinely differ (confuser blend + noise), same seed
+    assert (d0a / "audio" / wav).read_bytes() != (
+        d1 / "audio" / wav).read_bytes()
+    assert (d0a / "video" / "happy_000.mp4").read_bytes() != (
+        d1 / "video" / "happy_000.mp4").read_bytes()
+    # knob is recorded; label flips only occur at d>0 and stay a minority
+    meta = json.loads((d1 / "generation_meta.json").read_text())
+    assert meta["difficulty"] == 1.0
+
+    def flips(root):
+        n = 0
+        for split in ["train", "val", "test"]:
+            with open(root / f"{split}.csv") as f:
+                for row in _csv.DictReader(f):
+                    if not row["audio_path"].startswith(
+                            f"audio/{row['emotion']}_"):
+                        n += 1
+        return n
+
+    assert flips(d0a) == 0
+    assert 0 < flips(d1) <= 7  # seed-42 deterministic; ~10% of 14 samples
+    with pytest.raises(ValueError):
+        create_sample_dataset(str(tmp_path / "bad"),
+                              num_samples_per_emotion=1, difficulty=1.5)
+
+
 def test_dataset_and_loader(sample_dataset_dir, tiny_config):
     cfg = tiny_config
     ds = get_dataset("sample", str(sample_dataset_dir), "train", cfg)
