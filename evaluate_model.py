@@ -32,7 +32,22 @@ def main():
                         choices=["tiny", "half", "base"],
                         help="Override encoder preset (else from saved config)")
     parser.add_argument("--device", type=str, default="auto")
+    parser.add_argument("--assert_f1_band", type=str, default=None,
+                        metavar="LO,HI",
+                        help="Exit non-zero unless LO <= F1-macro <= HI. "
+                             "Regression tripwire for the e2e drive: on the "
+                             "--difficulty sample set both a collapsed score "
+                             "AND a suspiciously perfect one fail the band")
     args = parser.parse_args()
+    band = None
+    if args.assert_f1_band:
+        try:
+            lo, hi = (float(x) for x in args.assert_f1_band.split(","))
+        except ValueError:
+            parser.error("--assert_f1_band expects LO,HI (e.g. 0.5,0.98)")
+        if not 0.0 <= lo <= hi <= 1.0:
+            parser.error("--assert_f1_band needs 0 <= LO <= HI <= 1")
+        band = (lo, hi)
 
     if args.device and args.device != "auto":
         import jax
@@ -85,6 +100,14 @@ def main():
     results_path = evaluator.save_detailed_results(results, args.output_dir)
     print(f"\nDetailed results saved to: {results_path}")
     print(f"All evaluation outputs saved to: {output_path}")
+    if band is not None:
+        lo, hi = band
+        f1 = m["f1_macro"]
+        if not lo <= f1 <= hi:
+            print(f"F1 BAND VIOLATION: f1_macro={f1:.4f} outside "
+                  f"[{lo}, {hi}]", file=sys.stderr)
+            sys.exit(3)
+        print(f"F1 band OK: {f1:.4f} in [{lo}, {hi}]")
 
 
 if __name__ == "__main__":
